@@ -1,0 +1,521 @@
+"""Batch inference CLI — the reference ``predict.py`` equivalent.
+
+Preserves the reference's flag surface, defaults, and cross-flag coercion
+rules (reference predict.py:25-343 options; :402-457 coercions):
+
+- invalid vis_order / loss_funcs entries are skipped with an error log
+- use_prev_latent forces batch_size=1
+- log/log10/inv projection + norm=const falls back to norm=minmax
+- lcm forces train_latents=False; ¬train_latents forces closed_form=True
+
+TPU-era differences (documented deviations):
+- ``--checkpoint-dir`` / ``--taesd-dir`` point at local HF-layout
+  checkpoints instead of hub downloads (no network egress); ``--model
+  random`` runs random weights for smoke tests.
+- ``--compile-graph/--compile-mode`` are absorbed by XLA: the entire
+  sampling loop is always one jit-compiled program. The flags are accepted
+  and logged as no-ops for drop-in compatibility.
+- batches are padded to a fixed ``--batch-size`` so every batch reuses one
+  compiled program (XLA static shapes), with padded outputs discarded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from pathlib import Path
+from typing import Any
+
+import click
+import numpy as np
+
+from depth_completion_tpu.cli.options import CommaSeparated
+from depth_completion_tpu.logger import LOG_LEVELS, logger
+
+SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
+
+
+@click.command(help="Predict dense depth maps from sparse depth maps and camera images.")
+@click.argument("src_root", type=click.Path(exists=True, path_type=Path, file_okay=False))
+@click.argument("dst_root", type=click.Path(exists=False, path_type=Path))
+@click.option(
+    "--model",
+    type=click.Choice(["original", "lcm", "random"]),
+    default="original",
+    show_default=True,
+    help="Marigold model family. original - DDIM Marigold. lcm - LCM Marigold "
+    "(forces --train-latents=False). random - randomly initialized weights "
+    "(smoke tests only).",
+)
+@click.option(
+    "--checkpoint-dir",
+    type=click.Path(path_type=Path),
+    default=None,
+    help="Local HF-layout checkpoint directory (unet/, vae/, text_encoder/). "
+    "Required unless --model=random.",
+)
+@click.option(
+    "--taesd-dir",
+    type=click.Path(path_type=Path),
+    default=None,
+    help="Local TAESD checkpoint directory (safetensors). Required for --vae=light "
+    "with real checkpoints.",
+)
+@click.option(
+    "--vae",
+    type=click.Choice(["original", "light"]),
+    default="light",
+    show_default=True,
+    help="VAE for decode: original (SD KL VAE) or light (TAESD).",
+)
+@click.option("-n", "--steps", type=click.IntRange(min=1), default=50, show_default=True,
+              help="Number of denoising steps.")
+@click.option("-r", "--res", type=click.IntRange(min=1), default=768, show_default=True,
+              help="Processing resolution (longest side).")
+@click.option(
+    "--norm",
+    type=click.Choice(["const", "minmax", "percentile"]),
+    default="const",
+    show_default=True,
+    help="Normalization method for input sparse depth maps.",
+)
+@click.option("--percentile", type=CommaSeparated(float), default="0.01,0.99",
+              show_default=True, help="Percentile range for --norm=percentile.")
+@click.option("--max-sparse-depth", type=click.FloatRange(min=0, min_open=True),
+              default=120.0, show_default=True,
+              help="Max distance [m] encoded in sparse depth PNGs.")
+@click.option("--max-depth", type=click.FloatRange(min=0, min_open=True), default=120.0,
+              show_default=True, help="Max distance [m] of output dense depth maps.")
+@click.option("--min-depth", type=click.FloatRange(min=0), default=0.0,
+              show_default=True, help="Min distance [m] of output dense depth maps.")
+@click.option("-v", "--vis", type=bool, default=True, show_default=True,
+              help="Save visualization grids.")
+@click.option("-vr", "--vis-res", type=click.Tuple([int, int]), default=(512, -1),
+              show_default=True, help="Visualization grid resolution (h, w); -1 keeps aspect.")
+@click.option("-vo", "--vis-order", type=CommaSeparated(str), default="image,sparse,dense",
+              show_default=True, help="Views in the grid: image,sparse,dense.")
+@click.option("--save-dense", type=bool, default=True, show_default=True,
+              help="Save dense depth arrays.")
+@click.option("--log", type=click.Path(path_type=Path), default=None, show_default=True,
+              help="Path to save logs.")
+@click.option("--log-level", type=click.Choice(LOG_LEVELS), default="INFO",
+              show_default=True, help="Minimum log level.")
+@click.option("-p", "--precision", type=click.Choice(["bf16", "fp32"]), default="bf16",
+              show_default=True, help="Data precision for inference.")
+@click.option("-c", "--compress", type=click.Choice(["npz", "bl2", "npy"]), default="bl2",
+              show_default=True, help="Output array format for dense depth.")
+@click.option("--compile-graph", type=bool, default=False, show_default=True,
+              help="Accepted for compatibility; XLA always compiles the full loop.")
+@click.option("--compile-mode", type=click.Choice(["max-autotune", "reduce-overhead", "default"]),
+              default="reduce-overhead", show_default=True,
+              help="Accepted for compatibility (no-op under XLA).")
+@click.option("--interp-mode", type=click.Choice(["bilinear", "nearest"]), default="bilinear",
+              show_default=True, help="Interpolation mode for resizing.")
+@click.option("--loss-funcs", type=CommaSeparated(str), default="l1,l2", show_default=True,
+              help="Loss functions: l1, l2, edge, smooth.")
+@click.option("--opt", type=click.Choice(["adam", "sgd", "adagrad"]), default="adam",
+              show_default=True, help="Optimizer for latent guidance.")
+@click.option("--lr-latent", type=click.FloatRange(min=0, min_open=True), default=0.05,
+              show_default=True, help="Learning rate for the latent.")
+@click.option("--lr-scaling", type=click.FloatRange(min=0, min_open=True), default=0.005,
+              show_default=True, help="Learning rate for scale/shift parameters.")
+@click.option("--kld", type=bool, default=False, show_default=True,
+              help="Apply KL-divergence penalty toward N(0,1).")
+@click.option("--kld-mode", type=click.Choice(["simple", "strict"]), default="simple",
+              show_default=True, help="KL divergence mode.")
+@click.option("--kld-weight", type=click.FloatRange(min=0, min_open=True), default=0.1,
+              show_default=True, help="KL penalty weight.")
+@click.option("-bs", "--batch-size", type=click.IntRange(min=1), default=1,
+              show_default=True, help="Batch size for inference.")
+@click.option("--use-prev-latent", type=bool, default=False, show_default=True,
+              help="Use previous frame's latents as a temporal prior.")
+@click.option("--beta", type=click.FloatRange(min=0, min_open=True), default=0.9,
+              show_default=True, help="Temporal blend weight (with --use-prev-latent).")
+@click.option("--use-segmask", type=bool, default=False, show_default=True,
+              help="Load segmentation masks (parity: loaded but unused downstream, "
+              "reference predict.py:660-694).")
+@click.option("--closed-form", type=bool, default=False, show_default=True,
+              help="Closed-form affine parameters instead of learned.")
+@click.option("--projection", type=click.Choice(["linear", "log", "log10"]),
+              default="linear", show_default=True, help="Depth projection space.")
+@click.option("--inv", type=bool, default=False, show_default=True,
+              help="Inverse (disparity) projection.")
+@click.option("--train-latents", type=bool, default=True, show_default=True,
+              help="Optimize latents during sampling.")
+@click.option("--train-method", type=click.Choice(["per-step", "per-input"]),
+              default="per-step", show_default=True, help="Latent training method.")
+@click.option("--train-steps", type=click.IntRange(min=1), default=10, show_default=True,
+              help="Optimization steps for --train-method=per-input.")
+def main(**kw: Any) -> None:
+    run_predict(**kw)
+
+
+def run_predict(
+    src_root: Path,
+    dst_root: Path,
+    model: str,
+    checkpoint_dir: Path | None,
+    taesd_dir: Path | None,
+    vae: str,
+    steps: int,
+    res: int,
+    norm: str,
+    percentile: list[float],
+    max_sparse_depth: float,
+    max_depth: float,
+    min_depth: float,
+    vis: bool,
+    vis_res: tuple[int, int],
+    vis_order: list[str],
+    save_dense: bool,
+    log: Path | None,
+    log_level: str,
+    precision: str,
+    compress: str,
+    compile_graph: bool,
+    compile_mode: str,
+    interp_mode: str,
+    loss_funcs: list[str],
+    opt: str,
+    lr_latent: float,
+    lr_scaling: float,
+    kld: bool,
+    kld_mode: str,
+    kld_weight: float,
+    batch_size: int,
+    use_prev_latent: bool,
+    beta: float,
+    use_segmask: bool,
+    closed_form: bool,
+    projection: str,
+    inv: bool,
+    train_latents: bool,
+    train_method: str,
+    train_steps: int,
+) -> None:
+    import jax
+
+    from depth_completion_tpu.io import (
+        DATASET_DIR_NAME_IMAGE,
+        DATASET_DIR_NAME_SEGMASK,
+        DATASET_DIR_NAME_SPARSE,
+        RESULT_DIR_NAME_DENSE,
+        RESULT_DIR_NAME_VIS,
+        find_dataset_dirs,
+        find_img_paths,
+        load_img_arrays,
+        save_img_array,
+        to_depth,
+        to_segmask,
+    )
+    from depth_completion_tpu.io.codecs import save_array
+    from depth_completion_tpu.io.csvio import load_segmap
+    from depth_completion_tpu.viz import has_nan, make_grid, visualize_depth
+
+    logger.configure(level=log_level, log_path=log)
+
+    # ----- option validation / coercion (reference predict.py:402-457) -----
+    if vis:
+        vis_order_ok = []
+        for view in vis_order:
+            if view not in ("image", "sparse", "dense"):
+                logger.error(f"Invalid order (skipped): {view}")
+                continue
+            vis_order_ok.append(view)
+        if not vis_order_ok:
+            logger.critical("No valid visualization order specified")
+            sys.exit(1)
+        vis_order = vis_order_ok
+
+    loss_funcs_ok = []
+    for lf in loss_funcs:
+        if lf not in SUPPORTED_LOSS_FUNCS:
+            logger.error(f"Invalid loss function (skipped): {lf}")
+        else:
+            loss_funcs_ok.append(lf)
+    loss_funcs = loss_funcs_ok
+
+    if use_prev_latent and batch_size > 1:
+        logger.warning(
+            "batch_size is forced to 1 when use_prev_latent=True"
+        )
+        batch_size = 1
+    if (projection in ("log", "log10") or inv) and norm == "const":
+        logger.error(
+            "norm=const is not allowed when projection=log/log10 or inv=True. "
+            "Falling back to norm=minmax"
+        )
+        norm = "minmax"
+    if model == "lcm" and train_latents:
+        logger.error(
+            "LCM-based model does not support trainable latents. "
+            "Falling back to train_latents=False"
+        )
+        train_latents = False
+    if not train_latents and not closed_form:
+        logger.error(
+            "closed-form solution must be enabled without trainable latents. "
+            "Falling back to closed_form=True"
+        )
+        closed_form = True
+    if compile_graph:
+        logger.info(
+            f"--compile-graph/--compile-mode={compile_mode} noted: XLA always "
+            "compiles the full sampling loop; flags are no-ops"
+        )
+
+    # ----- model initialization -------------------------------------------
+    import jax.numpy as jnp
+
+    from depth_completion_tpu.models import registry
+    from depth_completion_tpu.models.bundle import load_bundle, make_random_bundle
+    from depth_completion_tpu.pipeline import DepthCompletionPipeline
+
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    vae_kind = "tiny" if vae == "light" else "kl"
+    if model == "random":
+        logger.warning("Running with RANDOM weights (smoke-test mode)")
+        bundle = make_random_bundle(
+            seed=0,
+            unet_config=registry.MARIGOLD_UNET_CONFIG,
+            vae_kind=vae_kind,
+            vae_config=registry.TAESD_CONFIG if vae_kind == "tiny" else registry.SD_VAE_CONFIG,
+            text_config=registry.SD2_TEXT_CONFIG,
+            dtype=dtype,
+        )
+    else:
+        if checkpoint_dir is None:
+            logger.critical(
+                "--checkpoint-dir is required (no network egress to the HF hub). "
+                "Use --model=random for smoke tests."
+            )
+            sys.exit(1)
+        bundle = load_bundle(
+            checkpoint_dir, vae_kind=vae_kind, taesd_dir=taesd_dir, dtype=dtype
+        )
+    pipe = DepthCompletionPipeline(bundle)
+    scheduler = "lcm" if model == "lcm" else "ddim"
+    logger.info(f"Devices: {jax.devices()}")
+
+    # ----- dataset scan (reference predict.py:512-576) --------------------
+    dataset_dirs = find_dataset_dirs(src_root)
+    if not dataset_dirs:
+        logger.critical(f"No dataset directories found at {src_root}")
+        sys.exit(1)
+    logger.info(f"Found {len(dataset_dirs):,} dataset directories")
+
+    img_paths_all: dict[str, list[Path]] = {}
+    sparse_paths_all: dict[str, list[Path]] = {}
+    segmask_paths_all: dict[str, list[Path]] = {}
+    segmaps: dict[str, dict[str, Any]] = {}
+    for dataset_dir in dataset_dirs:
+        is_segmask_enabled = use_segmask
+        segmask_dir = dataset_dir / DATASET_DIR_NAME_SEGMASK
+        if use_segmask:
+            if not segmask_dir.exists():
+                logger.error(
+                    f"No segmentation directory found at {segmask_dir}. "
+                    f"Segmentation masks will not be used for {dataset_dir.name}"
+                )
+                is_segmask_enabled = False
+            else:
+                segmap_path = segmask_dir / "map.csv"
+                if not segmap_path.exists():
+                    logger.error(
+                        f"No segmentation mapping file found at {segmap_path}. "
+                        f"Segmentation masks will not be used for {dataset_dir.name}"
+                    )
+                    is_segmask_enabled = False
+                else:
+                    segmaps[dataset_dir.name] = load_segmap(segmap_path)
+
+        img_dir = dataset_dir / DATASET_DIR_NAME_IMAGE
+        img_paths = sorted(find_img_paths(img_dir), key=lambda x: x.name)
+        sparse_dir = dataset_dir / DATASET_DIR_NAME_SPARSE
+        img_paths_all[dataset_dir.name] = []
+        sparse_paths_all[dataset_dir.name] = []
+        segmask_paths_all[dataset_dir.name] = []
+        for path in img_paths:
+            sparse_path = sparse_dir / path.relative_to(img_dir).with_suffix(".png")
+            if not sparse_path.exists():
+                logger.warning(f"No sparse depth map found for image {path} (skipped)")
+                continue
+            segmask_path = segmask_dir / path.relative_to(img_dir).with_suffix(".png")
+            if is_segmask_enabled and not segmask_path.exists():
+                logger.warning(f"No segmentation mask found for image {path} (skipped)")
+                continue
+            img_paths_all[dataset_dir.name].append(path)
+            sparse_paths_all[dataset_dir.name].append(sparse_path)
+            segmask_paths_all[dataset_dir.name].append(
+                segmask_path if is_segmask_enabled else None
+            )
+        n = len(img_paths_all[dataset_dir.name])
+        if n == 0:
+            logger.critical("No valid input pairs found")
+            sys.exit(1)
+        logger.info(f"Found {n:,} input pairs for {dataset_dir.name}")
+
+    dst_root.mkdir(parents=True, exist_ok=True)
+
+    # ----- inference loop (reference predict.py:585-777) ------------------
+    import tqdm
+
+    for dataset_idx, dataset_dir in enumerate(dataset_dirs):
+        out_dir = dst_root / dataset_dir.relative_to(src_root)
+        img_dir = dataset_dir / DATASET_DIR_NAME_IMAGE
+        sparse_dir = dataset_dir / DATASET_DIR_NAME_SPARSE
+        img_paths = img_paths_all[dataset_dir.name]
+        sparse_paths = sparse_paths_all[dataset_dir.name]
+        segmask_paths = segmask_paths_all[dataset_dir.name]
+        is_segmask_enabled = any(p is not None for p in segmask_paths)
+        progbar = tqdm.tqdm(
+            total=len(img_paths),
+            dynamic_ncols=True,
+            desc=f"{dataset_idx + 1}/{len(dataset_dirs)} - {dataset_dir.name}",
+        )
+        postfix: dict[str, Any] = {}
+        prev_latents = None
+        for i in range(0, len(img_paths), batch_size):
+            b_img_paths = img_paths[i : i + batch_size]
+            b_sparse_paths = sparse_paths[i : i + batch_size]
+            b_segmask_paths = segmask_paths[i : i + batch_size]
+            progbar_n = len(b_img_paths)
+
+            time_io = 0.0
+            stime = time.time()
+            imgs_list = load_img_arrays(b_img_paths, mode="RGB", num_threads=len(b_img_paths))
+            sparses_list = load_img_arrays(
+                b_sparse_paths, mode="RGB", num_threads=len(b_sparse_paths)
+            )
+            segmasks_list: list[np.ndarray | None] = []
+            if is_segmask_enabled:
+                segmasks_list = load_img_arrays(
+                    [p for p in b_segmask_paths], mode="RGB", num_threads=len(b_segmask_paths)
+                )
+
+            flags = []
+            for j in range(len(imgs_list)):
+                ok = imgs_list[j] is not None and sparses_list[j] is not None
+                if is_segmask_enabled:
+                    ok = ok and segmasks_list[j] is not None
+                flags.append(ok)
+            if not any(flags):
+                logger.error(f"All images in batch {i + 1} failed to load (skipped)")
+                progbar.update(progbar_n)
+                continue
+            b_img_paths = [p for p, f in zip(b_img_paths, flags) if f]
+            b_sparse_paths = [p for p, f in zip(b_sparse_paths, flags) if f]
+            imgs_list = [x for x, f in zip(imgs_list, flags) if f]
+            sparses_list = [x for x, f in zip(sparses_list, flags) if f]
+            if is_segmask_enabled:
+                segmasks_list = [x for x, f in zip(segmasks_list, flags) if f]
+
+            # Pad to the static batch size so one compiled program serves
+            # every batch (XLA static shapes). Padded rows are discarded.
+            n_real = len(imgs_list)
+            while len(imgs_list) < batch_size:
+                imgs_list.append(imgs_list[-1])
+                sparses_list.append(sparses_list[-1])
+            batch_imgs = np.stack(imgs_list).astype(np.float32)
+            batch_sparses = to_depth(
+                np.stack(sparses_list), max_distance=max_sparse_depth
+            )
+            if is_segmask_enabled:
+                segmap = segmaps[dataset_dir.name]
+                _ = to_segmask(np.stack(segmasks_list), segmap["color"])
+                # parity note: the reference computes segmasks but never
+                # passes them to the pipeline (predict.py:660-694)
+            time_io += time.time() - stime
+
+            stime_infer = time.time()
+            denses, latents = pipe(
+                batch_imgs,
+                batch_sparses,
+                max_depth,
+                min_depth=min_depth,
+                projection=projection,
+                inv=inv,
+                norm=norm,
+                percentile=tuple(percentile),
+                pred_latents_prev=prev_latents,
+                beta=beta,
+                steps=steps,
+                resolution=res,
+                interp_mode=interp_mode,
+                loss_funcs=tuple(loss_funcs),
+                opt=opt,
+                lr=(lr_latent, lr_scaling),
+                kld=kld,
+                kld_mode=kld_mode,
+                kld_weight=kld_weight,
+                closed_form=closed_form if train_latents else True,
+                train_latents=train_latents,
+                train_method=train_method,
+                train_steps=train_steps,
+                scheduler=scheduler,
+            )
+            denses_np = np.asarray(denses, dtype=np.float32)[:n_real]
+            if use_prev_latent:
+                prev_latents = latents
+            postfix["time/infer"] = time.time() - stime_infer
+
+            time_vis = 0.0
+            for dense, sparse, sparse_path, img, img_path in zip(
+                denses_np,
+                batch_sparses[:n_real],
+                b_sparse_paths,
+                batch_imgs[:n_real],
+                b_img_paths,
+            ):
+                if has_nan(dense):
+                    logger.error("NaN values found in dense depth map (skipped)")
+                    continue
+                if save_dense:
+                    stime = time.time()
+                    save_dir = (
+                        out_dir / RESULT_DIR_NAME_DENSE / sparse_path.relative_to(sparse_dir)
+                    ).parent
+                    save_path = save_dir / sparse_path.with_suffix(f".{compress}").name
+                    save_array(dense, save_path, compress=compress)
+                    time_io += time.time() - stime
+                if vis:
+                    stime = time.time()
+                    to_vis = []
+                    for order in vis_order:
+                        if order == "image":
+                            to_vis.append(img.astype(np.uint8))
+                        elif order == "sparse":
+                            sparse_vis = visualize_depth(
+                                sparse[np.newaxis], min_depth=min_depth, max_depth=max_depth
+                            )[0]
+                            sparse_vis[sparse[..., 0] <= 0.0] = 0
+                            to_vis.append(sparse_vis)
+                        elif order == "dense":
+                            to_vis.append(
+                                visualize_depth(
+                                    dense[np.newaxis],
+                                    min_depth=min_depth,
+                                    max_depth=max_depth,
+                                )[0]
+                            )
+                    grid = make_grid(to_vis, resize=vis_res)
+                    time_vis += time.time() - stime
+                    stime = time.time()
+                    save_dir = (
+                        out_dir / RESULT_DIR_NAME_VIS / img_path.relative_to(img_dir)
+                    ).parent
+                    save_img_array(grid, save_dir / f"{img_path.stem}_vis.jpg")
+                    time_io += time.time() - stime
+
+            postfix["time/io"] = time_io
+            postfix["time/vis"] = time_vis
+            progbar.set_postfix(postfix)
+            progbar.update(progbar_n)
+        progbar.close()
+        logger.success(f"Finished processing {dataset_dir.name}")
+    logger.success(f"Finished processing all {len(dataset_dirs):,} datasets")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""ModelBundle: the pipeline's view of (UNet, VAE, text context, schedule).
+
+Abstracts over the two VAE families (KL "original" vs TAESD "light",
+reference predict.py:44-52,484-488) with a uniform encode/decode interface,
+and carries the cached empty-prompt context the UNet cross-attends to
+(reference marigold_dc.py:663-674 caches it once per pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from depth_completion_tpu.models import clip_text, registry, vae_kl, vae_tiny, weights
+from depth_completion_tpu.models.registry import (
+    CLIPTextConfig,
+    TaesdConfig,
+    UNetConfig,
+    VAEConfig,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAE:
+    """VAE params + config with dispatch on family."""
+
+    kind: str  # "kl" | "tiny"
+    params: Any
+    config: VAEConfig | TaesdConfig
+
+    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.kind == "kl":
+            return vae_kl.encode(self.params, images, self.config)
+        return vae_tiny.encode(self.params, images, self.config)
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        if self.kind == "kl":
+            return vae_kl.decode(self.params, latents, self.config)
+        return vae_tiny.decode(self.params, latents, self.config)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelBundle:
+    """Everything the sampling loop needs besides the schedule."""
+
+    unet_params: Any
+    unet_config: UNetConfig
+    vae: VAE
+    # [1, S, D] cached empty-prompt CLIP context (S=2 with do_not_pad)
+    text_context: jnp.ndarray
+
+
+# Register VAE and ModelBundle as pytrees: params are children (traced /
+# shardable), configs and the VAE family tag are static aux data — so a
+# bundle can be passed straight through jit/pjit.
+jax.tree_util.register_pytree_node(
+    VAE,
+    lambda v: ((v.params,), (v.kind, v.config)),
+    lambda aux, ch: VAE(kind=aux[0], params=ch[0], config=aux[1]),
+)
+jax.tree_util.register_pytree_node(
+    ModelBundle,
+    lambda b: ((b.unet_params, b.vae, b.text_context), (b.unet_config,)),
+    lambda aux, ch: ModelBundle(
+        unet_params=ch[0], unet_config=aux[0], vae=ch[1], text_context=ch[2]
+    ),
+)
+
+
+def make_random_bundle(
+    seed: int = 0,
+    unet_config: UNetConfig = registry.TINY_UNET_CONFIG,
+    vae_kind: str = "tiny",
+    vae_config: VAEConfig | TaesdConfig | None = None,
+    text_config: CLIPTextConfig = registry.TINY_TEXT_CONFIG,
+    dtype=jnp.float32,
+) -> ModelBundle:
+    """Random-weight bundle (tests, benches; checkpoints unavailable offline)."""
+    if vae_config is None:
+        vae_config = (
+            registry.TINY_TAESD_CONFIG if vae_kind == "tiny" else registry.TINY_VAE_CONFIG
+        )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    from depth_completion_tpu.models.unet import init_unet
+
+    unet_params = init_unet(k1, unet_config, dtype)
+    if vae_kind == "tiny":
+        vae_params = vae_tiny.init_taesd(k2, vae_config, dtype)
+    else:
+        vae_params = vae_kl.init_vae(k2, vae_config, dtype)
+    text_params = clip_text.init_text_encoder(k3, text_config, dtype)
+    ids = jnp.asarray(clip_text.empty_prompt_ids(text_config))
+    # clamp ids into the tiny vocab for scaled-down test configs
+    ids = jnp.minimum(ids, text_config.vocab_size - 1)
+    ctx = clip_text.apply_text_encoder(text_params, ids, text_config)
+    # project context to the UNet's cross-attention width if configs disagree
+    if ctx.shape[-1] != unet_config.cross_attention_dim:
+        ctx = jnp.zeros(
+            (1, ctx.shape[1], unet_config.cross_attention_dim), dtype
+        ).at[..., : min(ctx.shape[-1], unet_config.cross_attention_dim)].set(
+            ctx[..., : unet_config.cross_attention_dim]
+        )
+    return ModelBundle(
+        unet_params=unet_params,
+        unet_config=unet_config,
+        vae=VAE(kind=vae_kind, params=vae_params, config=vae_config),
+        text_context=ctx.astype(dtype),
+    )
+
+
+def load_bundle(
+    model_dir: Path,
+    vae_kind: str = "tiny",
+    taesd_dir: Path | None = None,
+    dtype=jnp.bfloat16,
+    unet_config: UNetConfig = registry.MARIGOLD_UNET_CONFIG,
+    text_config: CLIPTextConfig = registry.SD2_TEXT_CONFIG,
+) -> ModelBundle:
+    """Load a Marigold HF-layout checkpoint directory.
+
+    ``model_dir`` holds ``unet/``, ``vae/``, ``text_encoder/`` subfolders;
+    ``taesd_dir`` (flat safetensors) replaces the VAE when vae_kind="tiny" —
+    the reference's default pipeline assembly (predict.py:478-488).
+    """
+    model_dir = Path(model_dir)
+    unet_params = weights.load_unet(model_dir / "unet", dtype)
+    if vae_kind == "tiny":
+        if taesd_dir is None:
+            raise ValueError("taesd_dir is required for vae_kind='tiny'")
+        vae = VAE("tiny", weights.load_taesd(Path(taesd_dir), dtype), registry.TAESD_CONFIG)
+    else:
+        vae = VAE("kl", weights.load_vae(model_dir / "vae", dtype), registry.SD_VAE_CONFIG)
+    text_params = weights.load_text_encoder(model_dir / "text_encoder", dtype)
+    ids = jnp.asarray(clip_text.empty_prompt_ids(text_config))
+    ctx = clip_text.apply_text_encoder(text_params, ids, text_config)
+    return ModelBundle(
+        unet_params=unet_params,
+        unet_config=unet_config,
+        vae=vae,
+        text_context=ctx.astype(dtype),
+    )

@@ -1,0 +1,176 @@
+"""Functional layer primitives: pure functions over parameter pytrees.
+
+Design: no module framework — every layer is ``apply(params, x, ...)`` with a
+matching ``init(key, ...)``. Parameters are nested dicts of jnp arrays, which
+makes them directly shardable with NamedSharding, trivially mappable from
+safetensors checkpoints, and free of any host-side object graph inside jit.
+
+Layout conventions (TPU-first, deviating from the reference's NCHW torch):
+- activations NHWC (channels on the minor/lane dimension)
+- conv kernels HWIO
+- linear kernels [in, out]
+
+Numerics: matmuls/convs run in the policy compute dtype (bf16 by default)
+with fp32 accumulation; normalization statistics and softmax are fp32.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def _fan_in_init(key, shape, fan_in, dtype):
+    """Kaiming-uniform, matching torch's default conv/linear init scale."""
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def conv_init(key, kh, kw, cin, cout, dtype=jnp.float32, use_bias=True):
+    kk, kb = jax.random.split(key)
+    fan_in = kh * kw * cin
+    p = {"kernel": _fan_in_init(kk, (kh, kw, cin, cout), fan_in, dtype)}
+    if use_bias:
+        p["bias"] = _fan_in_init(kb, (cout,), fan_in, dtype)
+    return p
+
+
+def linear_init(key, cin, cout, dtype=jnp.float32, use_bias=True):
+    kk, kb = jax.random.split(key)
+    p = {"kernel": _fan_in_init(kk, (cin, cout), cin, dtype)}
+    if use_bias:
+        p["bias"] = _fan_in_init(kb, (cout,), cin, dtype)
+    return p
+
+
+def norm_init(c, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Apply functions
+# ---------------------------------------------------------------------------
+
+def conv2d(params, x, stride=1, padding=1):
+    """3x3/1x1/strided conv, NHWC x HWIO.
+
+    ``padding`` is an int (symmetric) or an explicit ((t,b),(l,r)) pair.
+    """
+    if isinstance(padding, int):
+        pad = ((padding, padding), (padding, padding))
+    else:
+        pad = padding
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def linear(params, x):
+    y = jnp.dot(x, params["kernel"].astype(x.dtype))
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(params, x, num_groups=32, eps=1e-6):
+    """GroupNorm over the channel (minor) dim of NHWC / [..., C] input.
+
+    Statistics in fp32; channel grouping matches torch's contiguous blocks.
+    """
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    g = min(num_groups, c)
+    xf = x.astype(jnp.float32)
+    grouped = xf.reshape(x.shape[0], -1, g, c // g)  # [N, spatial, g, cg]
+    mean = jnp.mean(grouped, axis=(1, 3), keepdims=True)
+    var = jnp.var(grouped, axis=(1, 3), keepdims=True)
+    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed.reshape(x.shape)
+    out = normed * params["scale"].astype(jnp.float32) + params["bias"].astype(
+        jnp.float32
+    )
+    return out.astype(orig_dtype)
+
+
+def layer_norm(params, x, eps=1e-5):
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def attention(q, k, v, num_heads):
+    """Multi-head scaled dot-product attention over [N, S, C] tensors.
+
+    fp32 softmax; bf16 matmuls accumulate fp32 on the MXU via
+    preferred_element_type. Replaced by a fused Pallas kernel on TPU for the
+    UNet hot path (see ops/pallas_attention.py); this is the reference/XLA
+    fallback with identical semantics.
+    """
+    n, sq, c = q.shape
+    sk = k.shape[1]
+    hd = c // num_heads
+    qh = q.reshape(n, sq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(n, sk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(n, sk, num_heads, hd).transpose(0, 2, 1, 3)
+    scale = 1.0 / math.sqrt(hd)
+    logits = (
+        jnp.einsum("nhqd,nhkd->nhqk", qh, kh, preferred_element_type=jnp.float32)
+        * scale
+    )
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", probs, vh, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(n, sq, c)
+    return out
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (SD convention: flip_sin_to_cos=True).
+
+    timesteps: [N] (int or float) → [N, dim] float32.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def upsample_nearest_2x(x):
+    """NHWC nearest-neighbor 2x upsample."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

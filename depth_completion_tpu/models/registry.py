@@ -1,0 +1,105 @@
+"""Model configurations.
+
+The reference pulls three pinned checkpoints from the HF hub
+(reference marigold_dc.py:16-18, predict.py:469-488):
+
+- ``prs-eth/marigold-v1-0``  — SD2-class UNet fine-tuned for depth (8-channel
+  input: image latent ⊕ depth latent, reference marigold_dc.py:459), KL VAE,
+  OpenCLIP-ViT/H text tower.
+- ``prs-eth/marigold-lcm-v1-0`` — same geometry, LCM-distilled.
+- ``madebyollin/taesd``      — tiny VAE (default decode path).
+
+These dataclasses pin the same architectures for from-scratch init and for
+safetensors loading (models/weights.py). "tiny" variants are scaled-down
+geometries for tests and CI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 8
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    # number of attention heads per stage (SD2 convention: head_dim 64)
+    num_heads: tuple[int, ...] = (5, 10, 20, 20)
+    # which stages carry transformer blocks (SD2: all but the last down stage)
+    attention_stages: tuple[bool, ...] = (True, True, True, False)
+    transformer_layers: int = 1
+    norm_groups: int = 32
+    norm_eps: float = 1e-5
+    time_embed_dim_mult: int = 4
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * self.time_embed_dim_mult
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_groups: int = 32
+    norm_eps: float = 1e-6
+    scaling_factor: float = 0.18215
+
+
+@dataclasses.dataclass(frozen=True)
+class TaesdConfig:
+    latent_channels: int = 4
+    channels: int = 64
+    encoder_blocks: tuple[int, ...] = (1, 3, 3, 3)
+    decoder_blocks: tuple[int, ...] = (3, 3, 3, 1)
+    scaling_factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 1024
+    num_layers: int = 23
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    max_position_embeddings: int = 77
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "gelu"  # SD2's OpenCLIP-ViT/H tower uses plain GELU
+    bos_token_id: int = 49406
+    eos_token_id: int = 49407
+
+
+MARIGOLD_UNET_CONFIG = UNetConfig()
+SD_VAE_CONFIG = VAEConfig()
+TAESD_CONFIG = TaesdConfig()
+SD2_TEXT_CONFIG = CLIPTextConfig()
+
+# Scaled-down geometries for tests (same topology, tiny widths).
+TINY_UNET_CONFIG = UNetConfig(
+    block_out_channels=(32, 64),
+    num_heads=(2, 4),
+    attention_stages=(True, False),
+    cross_attention_dim=32,
+    layers_per_block=1,
+    norm_groups=8,
+)
+TINY_VAE_CONFIG = VAEConfig(block_out_channels=(16, 32), layers_per_block=1, norm_groups=8)
+TINY_TAESD_CONFIG = TaesdConfig(channels=16, encoder_blocks=(1, 1), decoder_blocks=(1, 1))
+TINY_TEXT_CONFIG = CLIPTextConfig(
+    vocab_size=512, hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64
+)
+
+# SDXL-scale stretch config (BASELINE.json config 5): bigger backbone for
+# tensor-parallel sharding over the model axis.
+SDXL_SCALE_UNET_CONFIG = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    num_heads=(5, 10, 20),
+    attention_stages=(False, True, True),
+    transformer_layers=2,
+    cross_attention_dim=2048,
+)

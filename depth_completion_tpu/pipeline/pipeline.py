@@ -1,0 +1,96 @@
+"""Public pipeline API — the `MarigoldDepthCompletionPipeline` equivalent.
+
+Host-side wrapper around the jitted `guided_sample`: input validation
+(reference marigold_dc.py:583-656), layout conversion, compile caching (one
+XLA program per (geometry, batch, config) signature), and the temporal latent
+carry for video (reference marigold_dc.py:699-704, predict.py:697-699).
+
+API deviation from the reference: arrays are NHWC (TPU layout), inputs may be
+numpy or jax arrays, and outputs are jax arrays left on device (callers pull
+them host-side when saving). A `from_nchw` helper eases porting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depth_completion_tpu.models.bundle import ModelBundle
+from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
+
+_jitted_sample = jax.jit(guided_sample, static_argnames=("cfg",))
+
+
+def from_nchw(x: np.ndarray | jnp.ndarray) -> np.ndarray | jnp.ndarray:
+    """[N,C,H,W] → [N,H,W,C] convenience for reference-style callers."""
+    return jnp.transpose(x, (0, 2, 3, 1)) if isinstance(x, jnp.ndarray) else np.transpose(x, (0, 2, 3, 1))
+
+
+class DepthCompletionPipeline:
+    """Sparse→dense guided-diffusion depth completion.
+
+    Usage:
+        pipe = DepthCompletionPipeline(bundle)
+        denses, latents = pipe(images, sparses, max_depth=120.0, steps=50)
+
+    ``images``: [N,H,W,3] raw RGB (0..255); ``sparses``: [N,H,W,1] metric
+    depth with 0 at missing points. Returns metric [N,H,W,1] dense depth and
+    the final latents for temporal carry.
+    """
+
+    def __init__(self, bundle: ModelBundle):
+        self.bundle = bundle
+
+    def __call__(
+        self,
+        images: Any,
+        sparses: Any,
+        max_depth: float,
+        min_depth: float = 0.0,
+        pred_latents_prev: Any | None = None,
+        **config_overrides: Any,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        images = jnp.asarray(images)
+        sparses = jnp.asarray(sparses)
+        if sparses.ndim == 3:
+            sparses = sparses[..., None]
+        if (
+            images.ndim != 4
+            or sparses.ndim != 4
+            or images.shape[0] != sparses.shape[0]
+            or images.shape[1:3] != sparses.shape[1:3]
+            or sparses.shape[-1] != 1
+        ):
+            raise ValueError(
+                "images must be [N,H,W,C] and sparses [N,H,W,1] with matching "
+                f"batch and spatial dims, got {images.shape} / {sparses.shape}"
+            )
+
+        loss_funcs = config_overrides.pop("loss_funcs", None)
+        if loss_funcs is not None:
+            config_overrides["loss_funcs"] = tuple(loss_funcs)
+        percentile = config_overrides.pop("percentile", None)
+        if percentile is not None:
+            config_overrides["percentile"] = tuple(percentile)
+        lr = config_overrides.pop("lr", None)
+        if lr is not None:
+            config_overrides["lr_latent"], config_overrides["lr_scaling"] = lr
+
+        cfg = SamplerConfig(
+            min_depth=min_depth, max_depth=max_depth, **config_overrides
+        )
+        cfg.validate()
+
+        if pred_latents_prev is not None:
+            pred_latents_prev = jnp.asarray(pred_latents_prev)
+
+        return _jitted_sample(
+            self.bundle, images, sparses, cfg, pred_latents_prev
+        )
+
+    def replace_bundle(self, **changes: Any) -> "DepthCompletionPipeline":
+        return DepthCompletionPipeline(dataclasses.replace(self.bundle, **changes))

@@ -1,14 +1,30 @@
 """Test bootstrap: force CPU backend with 8 virtual devices.
 
-Must run before the first ``import jax`` so tests exercise the multi-device
-sharding path on any machine (SURVEY.md §4 "distributed without a cluster").
+The session's sitecustomize registers the remote-TPU ("axon") PJRT plugin
+and forces ``jax.config.jax_platforms = "axon,cpu"`` in every interpreter —
+overriding the JAX_PLATFORMS env var and sending each eager op over a
+network tunnel. Tests must run on host CPU with a virtual 8-device mesh
+(SURVEY.md §4 "distributed without a cluster"), so we set XLA_FLAGS before
+first backend use and override the config back to cpu after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: e2e sampling programs are expensive to build
+# on this small host; cache them across pytest runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402  (sitecustomize has already imported and configured it)
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()

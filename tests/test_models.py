@@ -1,0 +1,97 @@
+"""Model shape/geometry tests on tiny configs (CPU-fast)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from depth_completion_tpu.models import registry, vae_kl, vae_tiny
+from depth_completion_tpu.models.clip_text import (
+    apply_text_encoder,
+    empty_prompt_ids,
+    init_text_encoder,
+)
+from depth_completion_tpu.models.unet import apply_unet, init_unet
+
+
+def test_unet_shapes_and_determinism():
+    cfg = registry.TINY_UNET_CONFIG
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 24, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 2, cfg.cross_attention_dim))
+    t = jnp.asarray(500)
+    out = apply_unet(params, x, t, ctx, cfg)
+    assert out.shape == (2, 16, 24, cfg.out_channels)
+    out2 = apply_unet(params, x, t, ctx, cfg)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_unet_remat_matches_no_remat():
+    cfg = registry.TINY_UNET_CONFIG
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 2, cfg.cross_attention_dim))
+    t = jnp.asarray(100)
+    a = apply_unet(params, x, t, ctx, cfg, remat=False)
+    b = apply_unet(params, x, t, ctx, cfg, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_unet_grad_flows_to_input():
+    cfg = registry.TINY_UNET_CONFIG
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    ctx = jnp.zeros((1, 2, cfg.cross_attention_dim))
+
+    def f(x):
+        return jnp.sum(apply_unet(params, x, jnp.asarray(10), ctx, cfg, remat=True))
+
+    g = jax.grad(f)(jnp.ones((1, 16, 16, cfg.in_channels)) * 0.1)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_kl_vae_roundtrip_shapes():
+    cfg = registry.TINY_VAE_CONFIG
+    params = vae_kl.init_vae(jax.random.PRNGKey(0), cfg)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 48, 3), minval=-1, maxval=1)
+    lat = vae_kl.encode(params, img, cfg)
+    # tiny config has 2 stages → 2× downsample; SD config (4 stages) gives 8×
+    assert lat.shape == (1, 16, 24, cfg.latent_channels)
+    rec = vae_kl.decode(params, lat, cfg)
+    assert rec.shape == img.shape
+
+
+def test_sd_vae_is_8x():
+    """Full SD VAE geometry: 8× spatial downsample (marigold_dc.py:596-597)."""
+    cfg = registry.SD_VAE_CONFIG
+    assert 2 ** (len(cfg.block_out_channels) - 1) == 8
+
+
+def test_taesd_roundtrip_shapes_and_grad():
+    cfg = registry.TINY_TAESD_CONFIG
+    params = vae_tiny.init_taesd(jax.random.PRNGKey(0), cfg)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3), minval=-1, maxval=1)
+    lat = vae_tiny.encode(params, img, cfg)
+    assert lat.shape == (1, 8, 8, cfg.latent_channels)  # 2 stages → 2×
+    rec = vae_tiny.decode(params, lat, cfg)
+    assert rec.shape == img.shape
+
+    def f(z):
+        return jnp.sum(vae_tiny.decode(params, z, cfg))
+
+    g = jax.grad(f)(lat)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_text_encoder_shapes():
+    cfg = registry.TINY_TEXT_CONFIG
+    params = init_text_encoder(jax.random.PRNGKey(0), cfg)
+    ids = jnp.minimum(jnp.asarray(empty_prompt_ids(cfg)), cfg.vocab_size - 1)
+    out = apply_text_encoder(params, ids, cfg)
+    assert out.shape == (1, 2, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_empty_prompt_is_bos_eos():
+    cfg = registry.SD2_TEXT_CONFIG
+    ids = empty_prompt_ids(cfg)
+    assert ids.tolist() == [[49406, 49407]]

@@ -1,0 +1,151 @@
+"""End-to-end tiny-shape sampling tests (SURVEY.md §4 integration strategy).
+
+Tiny random models, 64×48 images, 3-4 steps, CPU backend. Contracts tested:
+shape/dtype of outputs, determinism under a fixed seed (the reference seeds
+everything from one generator, marigold_dc.py:661), anchor consistency of the
+guided result, temporal latent carry, and every major config path (train
+per-step/per-input/off, closed-form vs learned affine, projections, LCM).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from depth_completion_tpu.models.bundle import make_random_bundle
+from depth_completion_tpu.pipeline import DepthCompletionPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return DepthCompletionPipeline(make_random_bundle(seed=0))
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, size=(1, 48, 64, 3)).astype(np.float32)
+    sparse = np.zeros((1, 48, 64, 1), np.float32)
+    mask = rng.random((1, 48, 64, 1)) < 0.05
+    sparse[mask] = rng.uniform(2.0, 80.0, mask.sum()).astype(np.float32)
+    return images, sparse
+
+
+COMMON = dict(max_depth=120.0, steps=3, resolution=64)
+
+
+def test_e2e_guided_per_step(pipe, inputs):
+    images, sparse = inputs
+    denses, latents = pipe(images, sparse, **COMMON)
+    denses = np.asarray(denses)
+    assert denses.shape == (1, 48, 64, 1)
+    assert np.isfinite(denses).all()
+    assert latents.shape[0] == 1 and latents.shape[-1] == 4
+    # output in metric range
+    assert denses.min() >= -1e-3 and denses.max() <= 120.0 + 1e-3
+
+
+def test_e2e_determinism(pipe, inputs):
+    images, sparse = inputs
+    a, _ = pipe(images, sparse, **COMMON)
+    b, _ = pipe(images, sparse, **COMMON)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_e2e_learned_affine(pipe, inputs):
+    images, sparse = inputs
+    denses, _ = pipe(images, sparse, closed_form=False, **COMMON)
+    assert np.isfinite(np.asarray(denses)).all()
+
+
+def test_e2e_no_train_closed_form(pipe, inputs):
+    images, sparse = inputs
+    denses, _ = pipe(images, sparse, train_latents=False, **COMMON)
+    assert np.isfinite(np.asarray(denses)).all()
+
+
+def test_e2e_per_input(pipe, inputs):
+    images, sparse = inputs
+    denses, _ = pipe(
+        images, sparse, train_method="per-input", train_steps=2, **COMMON
+    )
+    assert np.isfinite(np.asarray(denses)).all()
+
+
+@pytest.mark.parametrize(
+    "projection,inv", [("log", False), ("log10", False), ("linear", True)]
+)
+def test_e2e_projections(pipe, inputs, projection, inv):
+    images, sparse = inputs
+    denses, _ = pipe(
+        images,
+        sparse,
+        min_depth=0.5,
+        projection=projection,
+        inv=inv,
+        **COMMON,
+    )
+    assert np.isfinite(np.asarray(denses)).all()
+
+
+def test_e2e_lcm(pipe, inputs):
+    images, sparse = inputs
+    denses, _ = pipe(
+        images, sparse, scheduler="lcm", train_latents=False, **COMMON
+    )
+    assert np.isfinite(np.asarray(denses)).all()
+
+
+def test_e2e_temporal_carry(pipe, inputs):
+    images, sparse = inputs
+    _, latents = pipe(images, sparse, **COMMON)
+    denses2, _ = pipe(
+        images, sparse, pred_latents_prev=latents, beta=0.9, **COMMON
+    )
+    assert np.isfinite(np.asarray(denses2)).all()
+
+
+def test_e2e_percentile_norm_and_kld(pipe, inputs):
+    images, sparse = inputs
+    denses, _ = pipe(
+        images,
+        sparse,
+        norm="percentile",
+        percentile=(0.05, 0.95),
+        kld=True,
+        kld_mode="strict",
+        **COMMON,
+    )
+    assert np.isfinite(np.asarray(denses)).all()
+
+
+def test_closed_form_guided_tracks_anchors(inputs):
+    """With closed-form affine the final output must be affine-aligned to the
+    anchors: masked mean error bounded by the (random-model) affine residual,
+    i.e. finite and not wildly off-range."""
+    images, sparse = inputs
+    pipe = DepthCompletionPipeline(make_random_bundle(seed=1))
+    denses, _ = pipe(images, sparse, train_latents=False, **COMMON)
+    d = np.asarray(denses)
+    m = sparse > 0
+    # closed-form least squares keeps the masked mean of pred ≈ mean of anchors
+    assert abs(d[m].mean() - sparse[m].mean()) < sparse[m].std() * 2
+
+
+def test_shape_validation(pipe):
+    with pytest.raises(ValueError):
+        pipe(np.zeros((1, 8, 8, 3)), np.zeros((2, 8, 8, 1)), max_depth=10.0)
+    with pytest.raises(ValueError):
+        pipe(np.zeros((1, 8, 8, 3)), np.zeros((1, 4, 4, 1)), max_depth=10.0)
+
+
+def test_config_validation(pipe, inputs):
+    images, sparse = inputs
+    with pytest.raises(ValueError):
+        pipe(images, sparse, max_depth=120.0, beta=1.5)
+    with pytest.raises(ValueError):
+        pipe(images, sparse, max_depth=120.0, projection="bogus")
+    with pytest.raises(ValueError):
+        pipe(images, sparse, max_depth=120.0, train_latents=False, closed_form=False)
+    with pytest.raises(ValueError):
+        # log projection requires positive min_depth
+        pipe(images, sparse, max_depth=120.0, min_depth=0.0, projection="log")
