@@ -42,6 +42,13 @@ class VAE:
             return vae_kl.decode(self.params, latents, self.config)
         return vae_tiny.decode(self.params, latents, self.config)
 
+    @property
+    def downsample_factor(self) -> int:
+        """Spatial downsampling of encode (8 for SD-class configs)."""
+        if self.kind == "kl":
+            return 2 ** (len(self.config.block_out_channels) - 1)
+        return 2 ** (len(self.config.encoder_blocks) - 1)
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelBundle:
@@ -87,16 +94,24 @@ def make_random_bundle(
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     from depth_completion_tpu.models.unet import init_unet
 
-    unet_params = init_unet(k1, unet_config, dtype)
+    # jit the initializers: eager init dispatches thousands of tiny ops,
+    # which is pathological on a remote-device backend.
+    unet_params = jax.jit(
+        lambda k: init_unet(k, unet_config, dtype)
+    )(k1)
     if vae_kind == "tiny":
-        vae_params = vae_tiny.init_taesd(k2, vae_config, dtype)
+        vae_params = jax.jit(lambda k: vae_tiny.init_taesd(k, vae_config, dtype))(k2)
     else:
-        vae_params = vae_kl.init_vae(k2, vae_config, dtype)
-    text_params = clip_text.init_text_encoder(k3, text_config, dtype)
+        vae_params = jax.jit(lambda k: vae_kl.init_vae(k, vae_config, dtype))(k2)
     ids = jnp.asarray(clip_text.empty_prompt_ids(text_config))
     # clamp ids into the tiny vocab for scaled-down test configs
     ids = jnp.minimum(ids, text_config.vocab_size - 1)
-    ctx = clip_text.apply_text_encoder(text_params, ids, text_config)
+
+    def _ctx(k, ids):
+        text_params = clip_text.init_text_encoder(k, text_config, dtype)
+        return clip_text.apply_text_encoder(text_params, ids, text_config)
+
+    ctx = jax.jit(_ctx)(k3, ids)
     # project context to the UNet's cross-attention width if configs disagree
     if ctx.shape[-1] != unet_config.cross_attention_dim:
         ctx = jnp.zeros(

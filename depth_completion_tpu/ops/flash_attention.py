@@ -1,0 +1,381 @@
+"""Fused flash attention for TPU (Pallas/Mosaic), forward + backward.
+
+The UNet's self-attention over S = H·W image tokens (≈6.9k at processing
+resolution 768) is the FLOP- and bandwidth-dominant op of the sampling loop;
+XLA materializes the [S,S] score matrix in HBM (~190 MB fp32 per head at
+S=6912) in both directions. This kernel tiles the online-softmax computation
+(flash attention) so scores only ever exist as a [block_q, block_k] VMEM
+tile, for the forward pass and both backward kernels (dq and dk/dv).
+
+Scope (what the UNet needs, nothing more): non-causal self/cross attention,
+fp32 softmax statistics, no bias/segment masking; ragged sequence lengths
+are handled by padding to the block size and masking padded KV columns.
+Layout: [BH, S, D] with batch·heads flattened into the leading grid axis.
+
+Backward math (standard flash bwd):
+    p  = exp(s − m) / l          (recomputed from the saved row stats m, l)
+    dv = pᵀ @ do
+    dp = do @ vᵀ
+    ds = p ⊙ (dp − di),  di = rowsum(do ⊙ o)
+    dk = dsᵀ @ q · scale
+    dq = Σ_kv ds @ k · scale
+
+Falls back to `models.layers.attention` (XLA) when Pallas/TPU is not
+available or shapes are tiny (cross-attention with S_kv=2 is a plain matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+# Test hook: run kernels in the Pallas interpreter (CPU) instead of Mosaic.
+INTERPRET = False
+
+
+def _next_multiple(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
+    m_scr, l_scr, acc_scr,
+    *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [block_k, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_k]
+    s = s * sm_scale
+
+    # mask padded KV columns
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, MASK_VALUE)
+
+    m_prev = m_scr[...]  # [block_q, LANES]
+    l_prev = l_scr[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+    m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, LANES]
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+    l_corr = alpha * l_prev
+    l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
+
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    v = v_ref[0]  # [block_k, d]
+    o_curr = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )  # [block_q, d]
+    acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + o_curr
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l_final = l_scr[...]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0] = (acc_scr[...] * l_inv[:, : acc_scr.shape[-1]]).astype(o_ref.dtype)
+        l_ref[0] = l_final.astype(l_ref.dtype)
+        m_ref[0] = m_scr[...].astype(m_ref.dtype)
+
+
+def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
+    """q [BH, Sq, D], k/v [BH, Sk, D] (padded) → (o, l, m)."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q, sk // block_k)
+    kernel = functools.partial(
+        _fwd_kernel,
+        sm_scale=sm_scale,
+        kv_len=kv_len,
+        block_k=block_k,
+        num_kv_blocks=sk // block_k,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [block_k, d]
+    v = v_ref[0]
+    do = do_ref[0]  # [block_q, d]
+    l = l_ref[0][:, :1]  # [block_q, 1]
+    m = m_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, MASK_VALUE)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m) * l_inv  # [block_q, block_k]
+
+    # dv += p^T @ do
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dp = do @ v^T ; ds = p * (dp - di)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di)  # [block_q, block_k]
+    # dk += ds^T @ q * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+    dq_ref, dq_scr,
+    *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    l = l_ref[0][:, :1]
+    m = m_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, MASK_VALUE)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m) * l_inv
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di)
+    dq_scr[...] += jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    ) * sm_scale
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def _flash(q, k, v, sm_scale, block_q, block_k, kv_len):
+    o, _, _ = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
+    return o
+
+
+def _flash_fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
+    o, l, m = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
+    return o, (q, k, v, o, l, m)
+
+
+def _flash_bwd(sm_scale, block_q, block_k, kv_len, res, do):
+    q, k, v, o, l, m = res
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    di = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [BH, Sq, 1]
+    di = jnp.broadcast_to(di, (bh, sq, _LANES))
+
+    nq, nk = sq // block_q, sk // block_k
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel,
+        sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_q_blocks=nq,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, l, m, di)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel,
+        sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_kv_blocks=nk,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, l, m, di)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry: [N, S, C] multi-head interface matching layers.attention
+# ---------------------------------------------------------------------------
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    block_q: int = 256,
+    block_k: int = 256,
+    min_seq_len: int = 1024,
+) -> jnp.ndarray:
+    """Drop-in replacement for ``layers.attention`` backed by Pallas.
+
+    Falls back to the XLA path for short sequences (cross-attention over the
+    2-token empty-prompt context) where a fused kernel buys nothing.
+    """
+    from depth_completion_tpu.models.layers import attention as xla_attention
+
+    n, sq, c = q.shape
+    sk = k.shape[1]
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        # Pallas TPU kernels don't run on the CPU backend (interpreter mode
+        # is test-only, see tests/test_flash_attention.py).
+        return xla_attention(q, k, v, num_heads)
+    if sk < min_seq_len or c % num_heads != 0:
+        return xla_attention(q, k, v, num_heads)
+    d = c // num_heads
+    if d % _LANES != 0 and d != 64:
+        return xla_attention(q, k, v, num_heads)
+
+    sm_scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, _next_multiple(sq, _LANES))
+    bk = min(block_k, _next_multiple(sk, _LANES))
+    sq_pad = _next_multiple(sq, bq)
+    sk_pad = _next_multiple(sk, bk)
+
+    def split_heads(x, s_pad):
+        s = x.shape[1]
+        x = x.reshape(n, s, num_heads, d).transpose(0, 2, 1, 3)
+        x = x.reshape(n * num_heads, s, d)
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x
+
+    qh = split_heads(q, sq_pad)
+    kh = split_heads(k, sk_pad)
+    vh = split_heads(v, sk_pad)
+    o = _flash(qh, kh, vh, sm_scale, bq, bk, sk)
+    o = o[:, :sq, :].reshape(n, num_heads, sq, d).transpose(0, 2, 1, 3)
+    return o.reshape(n, sq, c).astype(q.dtype)

@@ -98,14 +98,18 @@ def processing_size(orig_res: tuple[int, int], resolution: int) -> tuple[int, in
     return rh + (-rh % LATENT_ALIGN), rw + (-rw % LATENT_ALIGN)
 
 
-def latent_size(orig_res: tuple[int, int], resolution: int) -> tuple[int, int]:
-    """(EH, EW): actual latent geometry = padded processing size / 8.
+def latent_size(
+    orig_res: tuple[int, int], resolution: int, downsample: int = 8
+) -> tuple[int, int]:
+    """(EH, EW): actual latent geometry = padded processing size / downsample.
 
-    Deliberate deviation: the reference validates temporal-prior latents
-    against ``res·H//(8·max(H,W))`` (reference marigold_dc.py:596-597), which
-    disagrees with the true VAE output height whenever the resized side is not
-    a multiple of 16 (e.g. KITTI 352×1216 at res 768 → formula 27, actual 28).
-    We use the true geometry everywhere.
+    ``downsample`` is the VAE's spatial factor (8 for SD-class VAEs; smaller
+    for scaled-down test configs). Deliberate deviation: the reference
+    validates temporal-prior latents against ``res·H//(8·max(H,W))``
+    (reference marigold_dc.py:596-597), which disagrees with the true VAE
+    output height whenever the resized side is not a multiple of 16 (e.g.
+    KITTI 352×1216 at res 768 → formula 27, actual 28). We use the true
+    geometry everywhere.
     """
     pph, ppw = processing_size(orig_res, resolution)
-    return pph // 8, ppw // 8
+    return pph // downsample, ppw // downsample

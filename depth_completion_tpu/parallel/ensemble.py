@@ -1,0 +1,77 @@
+"""Ensemble sampling: sharded members, collective median/alignment reduce.
+
+New capability over the reference (SURVEY.md §2.4 "Ensemble parallel"): the
+reference always samples a single member (``ensemble_size=1`` hard-coded at
+marigold_dc.py:696-698), while the BASELINE KITTI-DC config calls for a
+5-member ensemble with a median/alignment reduce.
+
+Design: member m of every frame uses init noise_m (common across frames,
+preserving the reference's common-noise-per-batch contract within a member).
+The [N·E] flattened batch rides the ``data`` mesh axis; after sampling, each
+member is already metric (affine-aligned to the anchors), so the reduce is an
+elementwise median (or mean) over members — a tiny cross-member collective
+that XLA lowers to an all-gather along the sharded axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from depth_completion_tpu.models.bundle import ModelBundle
+from depth_completion_tpu.ops.resize import latent_size
+from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
+
+
+def ensemble_sample(
+    bundle: ModelBundle,
+    images: jnp.ndarray,
+    sparses: jnp.ndarray,
+    cfg: SamplerConfig,
+    ensemble_size: int,
+    reduce: str = "median",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(denses [N,H,W,1], member denses [N,E,H,W,1]) with E-member ensembling.
+
+    Jit-compatible as a whole; shard the [N·E] batch over the data axis by
+    device_put-ing ``images``/``sparses`` repeated rows (see
+    parallel.sharding.shard_batch) or simply let GSPMD propagate from input
+    shardings.
+    """
+    if ensemble_size < 1:
+        raise ValueError(f"ensemble_size must be >= 1, got {ensemble_size}")
+    n, h, w, _ = images.shape
+    e = ensemble_size
+    eh, ew = latent_size((h, w), cfg.resolution, bundle.vae.downsample_factor)
+
+    # Per-member noise, shared across frames within a member. Member 0 uses
+    # the exact key the plain (non-ensemble) path derives, so E=1 reproduces
+    # guided_sample bit-for-bit; members >0 fold in their index.
+    _, noise_key = jax.random.split(jax.random.PRNGKey(cfg.seed))
+    member_keys = [noise_key] + [
+        jax.random.fold_in(noise_key, m) for m in range(1, e)
+    ]
+    member_noise = jnp.concatenate(
+        [
+            jax.random.normal(k, (1, eh, ew, 4), dtype=jnp.float32)
+            for k in member_keys
+        ],
+        axis=0,
+    )
+    # Row layout: frame-major [n0m0, n0m1, ..., n0m{E-1}, n1m0, ...]
+    init_noise = jnp.tile(member_noise, (n, 1, 1, 1))  # [N*E, EH, EW, 4]
+
+    images_rep = jnp.repeat(images, e, axis=0)
+    sparses_rep = jnp.repeat(sparses, e, axis=0)
+
+    denses_flat, latents_flat = guided_sample(
+        bundle, images_rep, sparses_rep, cfg, init_noise=init_noise
+    )
+    members = denses_flat.reshape(n, e, h, w, 1)
+    if reduce == "median":
+        denses = jnp.median(members, axis=1)
+    elif reduce == "mean":
+        denses = jnp.mean(members, axis=1)
+    else:
+        raise ValueError(f"Unknown ensemble reduce: {reduce}")
+    return denses, members

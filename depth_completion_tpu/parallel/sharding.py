@@ -1,0 +1,88 @@
+"""Sharding rules: data-parallel frames/members, tensor-parallel UNet.
+
+The scaling design (SURVEY.md §2.4): the reference is single-GPU; here
+
+- ``data`` axis: frames and ensemble members (batch dim of every activation)
+- ``model`` axis: optional tensor parallelism for large UNets — attention
+  QKV/out and MLP projections sharded head-/channel-wise; convs replicated.
+
+Everything is expressed as NamedSharding annotations; XLA GSPMD inserts the
+collectives (all-gather/psum over ICI). No hand-written communication.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from depth_completion_tpu.core.mesh import AXIS_DATA, AXIS_MODEL
+
+# Parameter-name → (spec for "kernel") rules for tensor parallelism.
+# Linear kernels are [in, out]: shard `out` for fan-out projections
+# (to_q/k/v, ff in) and `in` for fan-in projections (to_out, ff out) so the
+# pair needs only one psum per block.
+_TP_OUT_SHARDED = {"to_q", "to_k", "to_v", "proj_in"}
+_TP_IN_SHARDED = {"to_out", "proj_out"}
+
+
+def unet_tp_spec(path: tuple, leaf: Any) -> PartitionSpec:
+    """PartitionSpec for a UNet parameter at ``path`` (tree_map_with_path)."""
+    names = [
+        p.key if isinstance(p, jax.tree_util.DictKey) else None for p in path
+    ]
+    # the parent module name is the second-to-last dict key
+    parent = None
+    for name in reversed(names[:-1] if names and names[-1] else names):
+        if name is not None:
+            parent = name
+            break
+    leaf_name = names[-1] if names else None
+    if leaf.ndim == 2 and leaf_name == "kernel":
+        # ff lives under {"ff": {"proj_in","proj_out"}} — also matched here
+        if parent in _TP_OUT_SHARDED:
+            return PartitionSpec(None, AXIS_MODEL)
+        if parent in _TP_IN_SHARDED:
+            return PartitionSpec(AXIS_MODEL, None)
+    if leaf.ndim == 1 and parent in _TP_OUT_SHARDED:
+        return PartitionSpec(AXIS_MODEL)
+    return PartitionSpec()  # replicated
+
+
+def shard_bundle(mesh: Mesh, bundle, tensor_parallel: bool = False):
+    """device_put the bundle: replicated, or TP-sharded transformer linears."""
+
+    def place(spec_fn):
+        def fn(path, leaf):
+            spec = spec_fn(path, leaf) if tensor_parallel else PartitionSpec()
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        return fn
+
+    unet_params = jax.tree_util.tree_map_with_path(place(unet_tp_spec), bundle.unet_params)
+    rep = lambda path, leaf: jax.device_put(  # noqa: E731
+        leaf, NamedSharding(mesh, PartitionSpec())
+    )
+    vae_params = jax.tree_util.tree_map_with_path(rep, bundle.vae.params)
+    ctx = jax.device_put(bundle.text_context, NamedSharding(mesh, PartitionSpec()))
+    import dataclasses
+
+    return dataclasses.replace(
+        bundle,
+        unet_params=unet_params,
+        vae=dataclasses.replace(bundle.vae, params=vae_params),
+        text_context=ctx,
+    )
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Shard the leading (batch) dim of each array over the data axis."""
+    out = tuple(
+        jax.device_put(
+            a,
+            NamedSharding(mesh, PartitionSpec(*([AXIS_DATA] + [None] * (a.ndim - 1)))),
+        )
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]

@@ -100,6 +100,8 @@ class SamplerConfig:
     ddim: DDIMConfig = DDIMConfig()
     lcm: LCMConfig = LCMConfig()
     remat_unet: bool = True
+    # "auto": fused Pallas flash attention on TPU, XLA elsewhere
+    flash_attention: str = "auto"  # "auto" | "on" | "off"
 
     def resolved_closed_form(self) -> bool:
         """closed_form=None → ¬train_latents (reference marigold_dc.py:605-613)."""
@@ -186,7 +188,7 @@ def _affine_to_metric(
 # Sampling
 # ---------------------------------------------------------------------------
 
-def _prepare(bundle, images, sparses, cfg, pred_latents_prev, rng):
+def _prepare(bundle, images, sparses, cfg, pred_latents_prev, rng, init_noise=None):
     """No-grad preprocessing: noise, image latents, normalization state."""
     n = images.shape[0]
     imgs_proc, padding, orig_res = preprocess_images(
@@ -196,9 +198,13 @@ def _prepare(bundle, images, sparses, cfg, pred_latents_prev, rng):
     img_latents = bundle.vae.encode(imgs_proc)  # [N, EH, EW, 4]
     eh, ew = img_latents.shape[1], img_latents.shape[2]
 
-    # Common init noise across the batch (reference marigold_dc.py:677-684).
-    noise = jax.random.normal(rng, (1, eh, ew, 4), dtype=jnp.float32)
-    pred_latents = jnp.broadcast_to(noise, (n, eh, ew, 4))
+    if init_noise is not None:
+        # Ensemble mode: per-row noise supplied by the caller.
+        pred_latents = init_noise.astype(jnp.float32)
+    else:
+        # Common init noise across the batch (reference marigold_dc.py:677-684).
+        noise = jax.random.normal(rng, (1, eh, ew, 4), dtype=jnp.float32)
+        pred_latents = jnp.broadcast_to(noise, (n, eh, ew, 4))
     if pred_latents_prev is not None:
         pred_latents = (
             cfg.beta * pred_latents + (1.0 - cfg.beta) * pred_latents_prev.astype(jnp.float32)
@@ -254,6 +260,7 @@ def guided_sample(
     sparses: jnp.ndarray,
     cfg: SamplerConfig,
     pred_latents_prev: jnp.ndarray | None = None,
+    init_noise: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full depth-completion sampling → (metric denses [N,H,W,1], latents).
 
@@ -269,7 +276,7 @@ def guided_sample(
     rng, noise_key = jax.random.split(rng)
 
     img_latents, pred_latents, dn, padding, orig_res = _prepare(
-        bundle, images, sparses, cfg, pred_latents_prev, noise_key
+        bundle, images, sparses, cfg, pred_latents_prev, noise_key, init_noise
     )
     compute_dtype = img_latents.dtype
 
@@ -279,6 +286,15 @@ def guided_sample(
     else:
         ts = make_timesteps(cfg.ddim, cfg.steps)
         prev_ts = None  # DDIM derives prev internally from the static stride
+
+    if cfg.flash_attention == "on" or (
+        cfg.flash_attention == "auto" and jax.default_backend() == "tpu"
+    ):
+        from depth_completion_tpu.ops.flash_attention import flash_attention
+
+        attention_fn = flash_attention
+    else:
+        from depth_completion_tpu.models.layers import attention as attention_fn
 
     def unet_eps(latents, t):
         x = jnp.concatenate(
@@ -293,6 +309,7 @@ def guided_sample(
             t,
             ctx,
             bundle.unet_config,
+            attention_fn=attention_fn,
             remat=cfg.remat_unet,
         )
 

@@ -1,0 +1,94 @@
+"""Flash attention kernels vs the XLA reference (Pallas interpreter on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import depth_completion_tpu.ops.flash_attention as fa
+from depth_completion_tpu.models.layers import attention as xla_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    fa.INTERPRET = True
+    yield
+    fa.INTERPRET = False
+
+
+def _qkv(n=2, s=256, c=128, sk=None, seed=0):
+    rng = np.random.default_rng(seed)
+    sk = s if sk is None else sk
+    q = jnp.asarray(rng.normal(size=(n, s, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, sk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, sk, c)), jnp.float32)
+    return q, k, v
+
+
+def test_forward_matches_xla_aligned():
+    q, k, v = _qkv(s=256, c=128)
+    out = fa.flash_attention(q, k, v, num_heads=2, block_q=128, block_k=128, min_seq_len=1)
+    ref = xla_attention(q, k, v, num_heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_forward_matches_xla_ragged():
+    """Sequence length not a multiple of the block size (padding + mask)."""
+    q, k, v = _qkv(s=192, c=128)  # 192 = 1.5 * 128
+    out = fa.flash_attention(q, k, v, num_heads=2, block_q=128, block_k=128, min_seq_len=1)
+    ref = xla_attention(q, k, v, num_heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_forward_head_dim_64():
+    q, k, v = _qkv(s=128, c=256)  # 4 heads × 64
+    out = fa.flash_attention(q, k, v, num_heads=4, block_q=128, block_k=128, min_seq_len=1)
+    ref = xla_attention(q, k, v, num_heads=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_backward_matches_xla():
+    q, k, v = _qkv(s=256, c=128)
+
+    def loss_fa(q, k, v):
+        o = fa.flash_attention(q, k, v, 2, block_q=128, block_k=128, min_seq_len=1)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(xla_attention(q, k, v, 2)))
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fa, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
+            err_msg=f"grad d{name} mismatch",
+        )
+
+
+def test_backward_ragged():
+    q, k, v = _qkv(s=192, c=128)
+
+    def loss_fa(q, k, v):
+        o = fa.flash_attention(q, k, v, 2, block_q=128, block_k=128, min_seq_len=1)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = xla_attention(q, k, v, 2)
+        return jnp.sum(o * o)
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fa, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
+            err_msg=f"grad d{name} mismatch",
+        )
+
+
+def test_short_kv_falls_back():
+    """Cross-attention over the 2-token context uses the XLA path."""
+    q, k, v = _qkv(s=128, c=128, sk=2)
+    out = fa.flash_attention(q, k, v, num_heads=2)  # min_seq_len default 1024
+    ref = xla_attention(q, k, v, num_heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

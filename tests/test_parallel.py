@@ -1,0 +1,97 @@
+"""Sharded execution on the 8-device virtual CPU mesh.
+
+Contract (SURVEY.md §4): sharded run ≡ single-device run within tolerance;
+tensor-parallel and data-parallel paths both compile and execute; the driver
+dry-run entry works.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from depth_completion_tpu.core.mesh import AXIS_DATA, AXIS_MODEL
+from depth_completion_tpu.models.bundle import make_random_bundle
+from depth_completion_tpu.parallel.ensemble import ensemble_sample
+from depth_completion_tpu.parallel.sharding import shard_batch, shard_bundle
+from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
+
+_jit_sample = jax.jit(guided_sample, static_argnames=("cfg",))
+
+
+def _mesh(data, model):
+    devs = np.asarray(jax.devices("cpu")[: data * model]).reshape(data, model)
+    return Mesh(devs, (AXIS_DATA, AXIS_MODEL))
+
+
+def _inputs(n=4):
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, size=(n, 32, 48, 3)).astype(np.float32)
+    sparse = np.zeros((n, 32, 48, 1), np.float32)
+    mask = rng.random((n, 32, 48, 1)) < 0.08
+    sparse[mask] = rng.uniform(2.0, 80.0, mask.sum()).astype(np.float32)
+    return images, sparse
+
+
+CFG = SamplerConfig(steps=2, resolution=64, max_depth=120.0)
+
+
+def test_data_parallel_matches_single_device():
+    bundle = make_random_bundle(seed=0)
+    images, sparse = _inputs(4)
+    ref, _ = _jit_sample(bundle, jnp.asarray(images), jnp.asarray(sparse), CFG)
+
+    mesh = _mesh(4, 2)
+    bundle_s = shard_bundle(mesh, bundle, tensor_parallel=False)
+    im_s, sp_s = shard_batch(mesh, jnp.asarray(images), jnp.asarray(sparse))
+    out, _ = _jit_sample(bundle_s, im_s, sp_s, CFG)
+    # tolerance: partitioning changes fp32 reduction order
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_tensor_parallel_matches_replicated():
+    bundle = make_random_bundle(seed=0)
+    images, sparse = _inputs(2)
+    ref, _ = _jit_sample(bundle, jnp.asarray(images), jnp.asarray(sparse), CFG)
+
+    mesh = _mesh(2, 4)
+    bundle_s = shard_bundle(mesh, bundle, tensor_parallel=True)
+    im_s, sp_s = shard_batch(mesh, jnp.asarray(images), jnp.asarray(sparse))
+    out, _ = _jit_sample(bundle_s, im_s, sp_s, CFG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_ensemble_sample_reduces_members():
+    bundle = make_random_bundle(seed=0)
+    images, sparse = _inputs(2)
+    fn = jax.jit(ensemble_sample, static_argnames=("cfg", "ensemble_size", "reduce"))
+    denses, members = fn(
+        bundle, jnp.asarray(images), jnp.asarray(sparse), CFG, ensemble_size=3
+    )
+    assert denses.shape == (2, 32, 48, 1)
+    assert members.shape == (2, 3, 32, 48, 1)
+    np.testing.assert_allclose(
+        np.asarray(denses), np.median(np.asarray(members), axis=1), atol=1e-6
+    )
+    # members differ (different init noise per member)
+    m = np.asarray(members)
+    assert np.abs(m[:, 0] - m[:, 1]).max() > 1e-6
+
+
+def test_ensemble_size_one_matches_plain():
+    """E=1 with per-member noise must equal the plain common-noise path
+    (same seed → same [1,EH,EW,4] normal draw)."""
+    bundle = make_random_bundle(seed=0)
+    images, sparse = _inputs(2)
+    ref, _ = _jit_sample(bundle, jnp.asarray(images), jnp.asarray(sparse), CFG)
+    fn = jax.jit(ensemble_sample, static_argnames=("cfg", "ensemble_size", "reduce"))
+    denses, _ = fn(
+        bundle, jnp.asarray(images), jnp.asarray(sparse), CFG, ensemble_size=1
+    )
+    np.testing.assert_allclose(np.asarray(denses), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
