@@ -103,8 +103,11 @@ SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
               show_default=True, help="Minimum log level.")
 @click.option("-p", "--precision", type=click.Choice(["bf16", "fp32"]), default="bf16",
               show_default=True, help="Data precision for inference.")
-@click.option("-c", "--compress", type=click.Choice(["npz", "bl2", "npy"]), default="bl2",
-              show_default=True, help="Output array format for dense depth.")
+@click.option("-c", "--compress", type=click.Choice(["npz", "bl2", "npy", "dcz"]),
+              default="dcz", show_default=True,
+              help="Output array format for dense depth. dcz is the native "
+              "shuffle+LZ4 codec (the bl2 analogue; bl2 itself needs blosc2 "
+              "installed — the reference's default, predict.py:176-185).")
 @click.option("--compile-graph", type=bool, default=False, show_default=True,
               help="Accepted for compatibility; XLA always compiles the full loop.")
 @click.option("--compile-mode", type=click.Choice(["max-autotune", "reduce-overhead", "default"]),

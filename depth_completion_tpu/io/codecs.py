@@ -24,7 +24,7 @@ except ImportError:  # pragma: no cover - environment dependent
     blosc2 = None
     HAVE_BLOSC2 = False
 
-NPARRAY_EXTS = [".npy", ".npz", ".bl2"]
+NPARRAY_EXTS = [".npy", ".npz", ".bl2", ".dcz"]
 
 
 def _is_nonnative_float(dtype: np.dtype) -> bool:
@@ -71,6 +71,10 @@ def load_array(path: Path) -> np.ndarray:
     if path.suffix == ".bl2":
         _require_blosc2()
         return blosc2.load_array(str(path))
+    if path.suffix == ".dcz":
+        from depth_completion_tpu.io.dcz import load_dcz
+
+        return load_dcz(path)
     if path.suffix == ".npz":
         return np.load(path)["arr_0"]
     return np.load(path)
@@ -80,7 +84,13 @@ def save_array(x: np.ndarray, path: Path, compress: str | None = None) -> None:
     """Save with the reference's extension/compression contract
     (utils.py:644-689); bf16 etc. are upcast to float32 first."""
     path = Path(path)
-    expected = {None: ".npy", "npy": ".npy", "npz": ".npz", "bl2": ".bl2"}
+    expected = {
+        None: ".npy",
+        "npy": ".npy",
+        "npz": ".npz",
+        "bl2": ".bl2",
+        "dcz": ".dcz",
+    }
     if compress not in expected:
         raise ValueError(f"Unknown compression: {compress}")
     if path.suffix != expected[compress]:
@@ -95,6 +105,10 @@ def save_array(x: np.ndarray, path: Path, compress: str | None = None) -> None:
     elif compress == "bl2":
         _require_blosc2()
         blosc2.save_array(x, str(path), mode="w")
+    elif compress == "dcz":
+        from depth_completion_tpu.io.dcz import save_dcz
+
+        save_dcz(x, path)
     else:
         np.save(path, x)
 
