@@ -279,14 +279,22 @@ def run_predict(
     vae_kind = "tiny" if vae == "light" else "kl"
     if model == "random":
         logger.warning("Running with RANDOM weights (smoke-test mode)")
-        bundle = make_random_bundle(
-            seed=0,
-            unet_config=registry.MARIGOLD_UNET_CONFIG,
-            vae_kind=vae_kind,
-            vae_config=registry.TAESD_CONFIG if vae_kind == "tiny" else registry.SD_VAE_CONFIG,
-            text_config=registry.SD2_TEXT_CONFIG,
-            dtype=dtype,
-        )
+        import os
+
+        if os.environ.get("DCT_RANDOM_MODEL_SIZE") == "tiny":
+            # scaled-down geometry for CI / CPU smoke tests
+            bundle = make_random_bundle(seed=0, vae_kind=vae_kind, dtype=dtype)
+        else:
+            bundle = make_random_bundle(
+                seed=0,
+                unet_config=registry.MARIGOLD_UNET_CONFIG,
+                vae_kind=vae_kind,
+                vae_config=registry.TAESD_CONFIG
+                if vae_kind == "tiny"
+                else registry.SD_VAE_CONFIG,
+                text_config=registry.SD2_TEXT_CONFIG,
+                dtype=dtype,
+            )
     else:
         if checkpoint_dir is None:
             logger.critical(

@@ -89,21 +89,35 @@ def linear(params, x):
 def group_norm(params, x, num_groups=32, eps=1e-6):
     """GroupNorm over the channel (minor) dim of NHWC / [..., C] input.
 
-    Statistics in fp32; channel grouping matches torch's contiguous blocks.
+    TPU-layout-aware: statistics are computed as per-channel moments (a
+    spatial reduction in the native [N,H,W,C] layout) followed by a tiny
+    [N,C]→[N,G] group reduction — never reshaping the feature map to
+    [..., G, C/G], whose C/G minor dimension would force a padded relayout
+    of the whole activation on every norm. fp32 statistics; channel grouping
+    matches torch's contiguous blocks.
     """
     orig_dtype = x.dtype
     c = x.shape[-1]
+    n = x.shape[0]
     g = min(num_groups, c)
+    cg = c // g
     xf = x.astype(jnp.float32)
-    grouped = xf.reshape(x.shape[0], -1, g, c // g)  # [N, spatial, g, cg]
-    mean = jnp.mean(grouped, axis=(1, 3), keepdims=True)
-    var = jnp.var(grouped, axis=(1, 3), keepdims=True)
-    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
-    normed = normed.reshape(x.shape)
-    out = normed * params["scale"].astype(jnp.float32) + params["bias"].astype(
-        jnp.float32
-    )
-    return out.astype(orig_dtype)
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    # per-channel moments (equal spatial counts per channel)
+    mean_c = jnp.mean(xf, axis=spatial_axes)  # [N, C]
+    m2_c = jnp.mean(jnp.square(xf), axis=spatial_axes)  # [N, C]
+    # tiny group reduction + broadcast back to channels
+    mean_g = jnp.mean(mean_c.reshape(n, g, cg), axis=-1)  # [N, G]
+    m2_g = jnp.mean(m2_c.reshape(n, g, cg), axis=-1)
+    var_g = jnp.maximum(m2_g - jnp.square(mean_g), 0.0)
+    mean = jnp.repeat(mean_g, cg, axis=-1)  # [N, C]
+    inv = jnp.repeat(jax.lax.rsqrt(var_g + eps), cg, axis=-1)  # [N, C]
+    shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    scale = (inv * params["scale"].astype(jnp.float32)).reshape(shape)
+    shift = (
+        params["bias"].astype(jnp.float32) - mean * inv * params["scale"].astype(jnp.float32)
+    ).reshape(shape)
+    return (xf * scale + shift).astype(orig_dtype)
 
 
 def layer_norm(params, x, eps=1e-5):

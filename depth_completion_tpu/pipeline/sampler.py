@@ -99,7 +99,11 @@ class SamplerConfig:
     scheduler: str = "ddim"  # "ddim" | "lcm"
     ddim: DDIMConfig = DDIMConfig()
     lcm: LCMConfig = LCMConfig()
-    remat_unet: bool = True
+    # Rematerialize UNet stages in the guidance backward pass. Off by
+    # default: at Marigold geometry (batch ≲ 8, latent ≤ 96×96) activations
+    # fit HBM comfortably and remat costs an extra forward per step. Enable
+    # for large batches / resolutions.
+    remat_unet: bool = False
     # "auto": fused Pallas flash attention on TPU, XLA elsewhere
     flash_attention: str = "auto"  # "auto" | "on" | "off"
 

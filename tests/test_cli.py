@@ -1,0 +1,81 @@
+"""CLI end-to-end: predict over a tiny dataset tree, then analyze results."""
+
+import json
+
+import numpy as np
+import pytest
+
+from depth_completion_tpu.io.image import save_img_array
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    ds = root / "scene"
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(1, 255, size=(48, 64, 3)).astype(np.uint8)
+        save_img_array(img, ds / "image" / f"{i:05d}.png")
+        sparse = np.zeros((48, 64, 3), np.uint8)
+        mask = rng.random((48, 64)) < 0.05
+        sparse[mask, 0] = rng.integers(10, 250, mask.sum()).astype(np.uint8)
+        save_img_array(sparse, ds / "sparse" / f"{i:05d}.png")
+    return root
+
+
+def test_predict_and_analyze(dataset, tmp_path, monkeypatch):
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.analyze import main as analyze_main
+    from depth_completion_tpu.cli.predict import main as predict_main
+
+    out = tmp_path / "out"
+    args = [
+        str(dataset), str(out),
+        "--model", "random",
+        "--steps", "2",
+        "--res", "64",
+        "--precision", "fp32",
+        "--compress", "dcz",
+        "--batch-size", "2",
+        "--vis", "true",
+    ]
+    with pytest.raises(SystemExit) as e:
+        predict_main(args, standalone_mode=True)
+    assert e.value.code in (0, None)
+
+    dense_dir = out / "scene" / "dense"
+    denses = sorted(dense_dir.glob("*.dcz"))
+    assert len(denses) == 3
+    vis_dir = out / "scene" / "vis"
+    assert len(list(vis_dir.glob("*_vis.jpg"))) == 3
+
+    with pytest.raises(SystemExit) as e:
+        analyze_main([str(dataset), str(out)], standalone_mode=True)
+    assert e.value.code in (0, None)
+    results = json.loads((out / "results_all.json").read_text())
+    assert "overall" in results and "mae" in results["overall"]
+    assert np.isfinite(results["overall"]["mae"])
+    per_ds = json.loads((out / "scene" / "results.json").read_text())
+    assert "binned" in per_ds and len(per_ds["binned"]) == 12  # 120m / 10m
+
+
+def test_predict_temporal_mode(dataset, tmp_path, monkeypatch):
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.predict import main as predict_main
+
+    out = tmp_path / "out_temporal"
+    args = [
+        str(dataset), str(out),
+        "--model", "random",
+        "--steps", "2",
+        "--res", "64",
+        "--precision", "fp32",
+        "--compress", "npy",
+        "--use-prev-latent", "true",
+        "--batch-size", "4",  # coerced to 1 with a warning
+        "--vis", "false",
+    ]
+    with pytest.raises(SystemExit) as e:
+        predict_main(args, standalone_mode=True)
+    assert e.value.code in (0, None)
+    assert len(list((out / "scene" / "dense").glob("*.npy"))) == 3

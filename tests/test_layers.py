@@ -1,0 +1,125 @@
+"""Layer primitives vs torch reference semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from depth_completion_tpu.models.layers import (
+    attention,
+    conv2d,
+    group_norm,
+    layer_norm,
+    linear,
+    timestep_embedding,
+    upsample_nearest_2x,
+)
+
+
+def test_group_norm_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 6, 5, 32)).astype(np.float32) * 3 + 1
+    scale = rng.normal(size=(32,)).astype(np.float32)
+    bias = rng.normal(size=(32,)).astype(np.float32)
+    ours = group_norm(
+        {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+        jnp.asarray(x),
+        num_groups=8,
+        eps=1e-5,
+    )
+    # torch expects NCHW
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.group_norm(
+        xt, 8, torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-5
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 7, 48)).astype(np.float32)
+    scale = rng.normal(size=(48,)).astype(np.float32)
+    bias = rng.normal(size=(48,)).astype(np.float32)
+    ours = layer_norm(
+        {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}, jnp.asarray(x)
+    )
+    ref = F.layer_norm(
+        torch.from_numpy(x), (48,), torch.from_numpy(scale), torch.from_numpy(bias)
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 8, 9, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 5)).astype(np.float32)  # HWIO
+    b = rng.normal(size=(5,)).astype(np.float32)
+    ours = conv2d({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}, jnp.asarray(x))
+    wt = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))  # OIHW
+    ref = (
+        F.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2), wt, torch.from_numpy(b), padding=1)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_stride2_asymmetric_padding():
+    """SD VAE downsample: stride 2 with (0,1) bottom/right padding."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 4, 4)).astype(np.float32)
+    ours = conv2d(
+        {"kernel": jnp.asarray(w)}, jnp.asarray(x), stride=2,
+        padding=((0, 1), (0, 1)),
+    )
+    xt = F.pad(torch.from_numpy(x).permute(0, 3, 1, 2), (0, 1, 0, 1))
+    ref = (
+        F.conv2d(xt, torch.from_numpy(np.transpose(w, (3, 2, 0, 1))), stride=2)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_matches_torch_sdpa():
+    rng = np.random.default_rng(4)
+    n, s, c, h = 2, 16, 64, 4
+    q, k, v = (rng.normal(size=(n, s, c)).astype(np.float32) for _ in range(3))
+    ours = attention(*map(jnp.asarray, (q, k, v)), num_heads=h)
+    qt, kt, vt = (
+        torch.from_numpy(a).reshape(n, s, h, c // h).transpose(1, 2)
+        for a in (q, k, v)
+    )
+    ref = (
+        torch.nn.functional.scaled_dot_product_attention(qt, kt, vt)
+        .transpose(1, 2)
+        .reshape(n, s, c)
+        .numpy()
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_timestep_embedding_properties():
+    emb = timestep_embedding(jnp.asarray([0.0, 500.0]), 320)
+    assert emb.shape == (2, 320)
+    # t=0: cos part = 1, sin part = 0 (flip_sin_to_cos puts cos first)
+    np.testing.assert_allclose(np.asarray(emb[0, :160]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 160:]), 0.0, atol=1e-6)
+
+
+def test_upsample_nearest():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    up = upsample_nearest_2x(x)
+    assert up.shape == (1, 4, 4, 1)
+    np.testing.assert_array_equal(
+        np.asarray(up[0, :, :, 0]),
+        [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]],
+    )
+
+
+def test_linear():
+    p = {"kernel": jnp.asarray([[1.0, 2.0], [3.0, 4.0]]), "bias": jnp.asarray([0.5, -0.5])}
+    out = linear(p, jnp.asarray([[1.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(out), [[4.5, 5.5]])

@@ -1,0 +1,249 @@
+"""Checkpoint converters: synthetic diffusers-style state dicts → our trees.
+
+Builds torch-convention state dicts (OIHW convs, [out,in] linears, diffusers
+key names) for the tiny configs, converts, and checks the resulting pytrees
+run through the models — validating the key translation and transposes
+without needing real checkpoints (no network egress).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from depth_completion_tpu.models import registry, vae_kl, vae_tiny, weights
+from depth_completion_tpu.models.clip_text import apply_text_encoder
+from depth_completion_tpu.models.unet import apply_unet, init_unet
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, prefix + (i,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _synthetic_unet_state(cfg):
+    """Random torch-style state dict keyed like diffusers UNet2DConditionModel."""
+    rng = np.random.default_rng(0)
+    ours = init_unet(jax.random.PRNGKey(0), cfg)
+    state = {}
+
+    def conv_w(x):
+        return np.transpose(np.asarray(x), (3, 2, 0, 1))  # HWIO → OIHW
+
+    def lin_w(x):
+        return np.transpose(np.asarray(x), (1, 0))
+
+    for path, leaf in _flatten(ours).items():
+        # rebuild the diffusers key from our path
+        parts = []
+        for p in path:
+            parts.append(str(p))
+        key = ".".join(parts)
+        key = key.replace("downsampler.", "downsamplers.0.conv.")
+        key = key.replace("upsampler.", "upsamplers.0.conv.")
+        key = key.replace("blocks.", "transformer_blocks.") if ".attentions." in key else key
+        key = key.replace("to_out.", "to_out.0.")
+        key = key.replace("ff.proj_in.", "ff.net.0.proj.")
+        key = key.replace("ff.proj_out.", "ff.net.2.")
+        leaf_name = path[-1]
+        arr = rng.normal(size=np.asarray(leaf).shape).astype(np.float32)
+        if leaf_name == "kernel":
+            if np.asarray(leaf).ndim == 4:
+                state[key.replace("kernel", "weight")] = conv_w(arr)
+            else:
+                state[key.replace("kernel", "weight")] = lin_w(arr)
+        elif leaf_name == "scale":
+            state[key.replace("scale", "weight")] = arr
+        else:
+            state[key] = arr
+    return state, ours
+
+
+def test_unet_state_roundtrip():
+    cfg = registry.TINY_UNET_CONFIG
+    state, ours = _synthetic_unet_state(cfg)
+    tree = weights.convert_unet_state(state, dtype=jnp.float32)
+    # identical structure
+    ref_paths = set(_flatten(ours))
+    got_paths = set(_flatten(tree))
+    assert ref_paths == got_paths, (
+        f"missing: {sorted(ref_paths - got_paths)[:5]} "
+        f"extra: {sorted(got_paths - ref_paths)[:5]}"
+    )
+    # identical shapes + runs
+    for p in ref_paths:
+        assert _flatten(ours)[p].shape == _flatten(tree)[p].shape, p
+    out = apply_unet(
+        tree,
+        jnp.zeros((1, 16, 16, cfg.in_channels)),
+        jnp.asarray(10),
+        jnp.zeros((1, 2, cfg.cross_attention_dim)),
+        cfg,
+    )
+    assert out.shape == (1, 16, 16, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_conv_transpose_is_correct():
+    """A known conv weight must land transposed, not just reshaped."""
+    cfg = registry.TINY_UNET_CONFIG
+    state, _ = _synthetic_unet_state(cfg)
+    w = state["conv_in.weight"]  # OIHW
+    tree = weights.convert_unet_state(state, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(tree["conv_in"]["kernel"]), np.transpose(w, (2, 3, 1, 0))
+    )
+
+
+def _synthetic_taesd_state(cfg):
+    rng = np.random.default_rng(1)
+    c, lc = cfg.channels, cfg.latent_channels
+
+    def conv(cin, cout):
+        return rng.normal(size=(cout, cin, 3, 3)).astype(np.float32)
+
+    state = {}
+
+    def add_block(side, idx, ch):
+        for j, name in ((0, "0"), (1, "2"), (2, "4")):
+            state[f"{side}.layers.{idx}.conv.{name}.weight"] = conv(ch, ch)
+            state[f"{side}.layers.{idx}.conv.{name}.bias"] = rng.normal(size=(ch,)).astype(np.float32)
+
+    # encoder: conv_in, per stage [down?, blocks...], conv_out
+    idx = 0
+    state[f"encoder.layers.{idx}.weight"] = conv(3, c)
+    state[f"encoder.layers.{idx}.bias"] = rng.normal(size=(c,)).astype(np.float32)
+    idx += 1
+    for i, n in enumerate(cfg.encoder_blocks):
+        if i > 0:
+            state[f"encoder.layers.{idx}.weight"] = conv(c, c)
+            idx += 1
+        for _ in range(n):
+            add_block("encoder", idx, c)
+            idx += 1
+    state[f"encoder.layers.{idx}.weight"] = conv(c, lc)
+    state[f"encoder.layers.{idx}.bias"] = rng.normal(size=(lc,)).astype(np.float32)
+
+    # decoder: conv_in, relu, per stage [blocks..., up?, conv], conv_out
+    idx = 0
+    state[f"decoder.layers.{idx}.weight"] = conv(lc, c)
+    state[f"decoder.layers.{idx}.bias"] = rng.normal(size=(c,)).astype(np.float32)
+    idx += 2  # skip activation
+    for i, n in enumerate(cfg.decoder_blocks):
+        for _ in range(n):
+            add_block("decoder", idx, c)
+            idx += 1
+        if i < len(cfg.decoder_blocks) - 1:
+            idx += 1  # nn.Upsample
+            state[f"decoder.layers.{idx}.weight"] = conv(c, c)
+            idx += 1
+    state[f"decoder.layers.{idx}.weight"] = conv(c, 3)
+    state[f"decoder.layers.{idx}.bias"] = rng.normal(size=(3,)).astype(np.float32)
+    return state
+
+
+def test_taesd_state_roundtrip():
+    cfg = registry.TINY_TAESD_CONFIG
+    state = _synthetic_taesd_state(cfg)
+    tree = weights.convert_taesd_state(
+        state,
+        encoder_blocks=cfg.encoder_blocks,
+        decoder_blocks=cfg.decoder_blocks,
+        dtype=jnp.float32,
+    )
+    img = jnp.zeros((1, 16, 16, 3))
+    lat = vae_tiny.encode(tree, img, cfg)
+    rec = vae_tiny.decode(tree, lat, cfg)
+    assert rec.shape == img.shape
+    assert np.isfinite(np.asarray(rec)).all()
+
+
+def _synthetic_vae_state(cfg):
+    """Build torch-style keys from our randomly-initialized tree structure."""
+    ours = vae_kl.init_vae(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    state = {}
+    for path, leaf in _flatten(ours).items():
+        key = ".".join(str(p) for p in path)
+        key = key.replace("downsampler.", "downsamplers.0.conv.")
+        key = key.replace("upsampler.", "upsamplers.0.conv.")
+        key = key.replace("to_out.", "to_out.0.")
+        arr = rng.normal(size=np.asarray(leaf).shape).astype(np.float32)
+        leaf_name = path[-1]
+        if leaf_name == "kernel":
+            if np.asarray(leaf).ndim == 4:
+                state[key.replace("kernel", "weight")] = np.transpose(arr, (3, 2, 0, 1))
+            else:
+                state[key.replace("kernel", "weight")] = np.transpose(arr, (1, 0))
+        elif leaf_name == "scale":
+            state[key.replace("scale", "weight")] = arr
+        else:
+            state[key] = arr
+    return state, ours
+
+
+def test_vae_state_roundtrip():
+    cfg = registry.TINY_VAE_CONFIG
+    state, ours = _synthetic_vae_state(cfg)
+    tree = weights.convert_vae_state(state, dtype=jnp.float32)
+    assert set(_flatten(ours)) == set(_flatten(tree))
+    img = jnp.zeros((1, 16, 16, 3))
+    lat = vae_kl.encode(tree, img, cfg)
+    rec = vae_kl.decode(tree, lat, cfg)
+    assert rec.shape == img.shape
+
+
+def test_text_encoder_state_roundtrip():
+    cfg = registry.TINY_TEXT_CONFIG
+    rng = np.random.default_rng(3)
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    state = {
+        "text_model.embeddings.token_embedding.weight": rng.normal(
+            size=(cfg.vocab_size, h)
+        ).astype(np.float32),
+        "text_model.embeddings.position_embedding.weight": rng.normal(
+            size=(cfg.max_position_embeddings, h)
+        ).astype(np.float32),
+        "text_model.final_layer_norm.weight": np.ones(h, np.float32),
+        "text_model.final_layer_norm.bias": np.zeros(h, np.float32),
+    }
+    for i in range(cfg.num_layers):
+        base = f"text_model.encoder.layers.{i}"
+        for name, shape in (
+            ("self_attn.q_proj", (h, h)),
+            ("self_attn.k_proj", (h, h)),
+            ("self_attn.v_proj", (h, h)),
+            ("self_attn.out_proj", (h, h)),
+            ("mlp.fc1", (inter, h)),
+            ("mlp.fc2", (h, inter)),
+        ):
+            state[f"{base}.{name}.weight"] = rng.normal(size=shape).astype(np.float32)
+            state[f"{base}.{name}.bias"] = np.zeros(shape[0], np.float32)
+        for ln in ("layer_norm1", "layer_norm2"):
+            state[f"{base}.{ln}.weight"] = np.ones(h, np.float32)
+            state[f"{base}.{ln}.bias"] = np.zeros(h, np.float32)
+    tree = weights.convert_text_encoder_state(state, dtype=jnp.float32)
+    ids = jnp.asarray([[1, 2]])
+    out = apply_text_encoder(tree, ids, cfg)
+    assert out.shape == (1, 2, h)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_safetensors_file_roundtrip(tmp_path):
+    from safetensors.numpy import save_file
+
+    cfg = registry.TINY_TAESD_CONFIG
+    state = _synthetic_taesd_state(cfg)
+    save_file(state, str(tmp_path / "model.safetensors"))
+    loaded = weights.load_safetensors_dir(tmp_path)
+    assert set(loaded) == set(state)
+    with pytest.raises(FileNotFoundError):
+        weights.load_safetensors_dir(tmp_path / "missing")
