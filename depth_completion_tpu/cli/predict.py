@@ -150,6 +150,14 @@ SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
               default="per-step", show_default=True, help="Latent training method.")
 @click.option("--train-steps", type=click.IntRange(min=1), default=10, show_default=True,
               help="Optimization steps for --train-method=per-input.")
+@click.option("--resume", type=bool, default=False, show_default=True,
+              help="Skip frames whose dense output already exists (idempotent "
+              "re-runs; outputs are per-frame files).")
+@click.option("--shard-index", type=click.IntRange(min=0), default=0, show_default=True,
+              help="This worker's shard of the frame list (multi-host batch "
+              "jobs partition work by frame; shards are independent).")
+@click.option("--num-shards", type=click.IntRange(min=1), default=1, show_default=True,
+              help="Total number of workers sharding the frame list.")
 def main(**kw: Any) -> None:
     run_predict(**kw)
 
@@ -196,7 +204,21 @@ def run_predict(
     train_latents: bool,
     train_method: str,
     train_steps: int,
+    resume: bool = False,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> None:
+    import os
+
+    # Persist compiled programs across invocations: the fused 50-step
+    # sampling program takes minutes to build; the cache makes every run
+    # after the first start instantly (per geometry/config signature).
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / "depth_completion_tpu" / "xla"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
     import jax
 
     from depth_completion_tpu.io import (
@@ -379,6 +401,41 @@ def run_predict(
         img_paths = img_paths_all[dataset_dir.name]
         sparse_paths = sparse_paths_all[dataset_dir.name]
         segmask_paths = segmask_paths_all[dataset_dir.name]
+
+        # Work sharding: frame j belongs to worker (j mod num_shards).
+        # Shards are independent processes writing disjoint per-frame files,
+        # so multi-host batch jobs need no coordination (SURVEY.md §5).
+        if num_shards > 1:
+            keep = [j for j in range(len(img_paths)) if j % num_shards == shard_index]
+            img_paths = [img_paths[j] for j in keep]
+            sparse_paths = [sparse_paths[j] for j in keep]
+            segmask_paths = [segmask_paths[j] for j in keep]
+            logger.info(
+                f"Shard {shard_index}/{num_shards}: {len(img_paths):,} frames"
+            )
+
+        # Idempotent resume: per-frame outputs make re-runs complete only
+        # what is missing.
+        if resume and not use_prev_latent:
+            def _done(sp: Path) -> bool:
+                out_path = (
+                    out_dir / RESULT_DIR_NAME_DENSE / sp.relative_to(sparse_dir)
+                ).with_suffix(f".{compress}")
+                return out_path.exists()
+
+            keep = [j for j, sp in enumerate(sparse_paths) if not _done(sp)]
+            skipped = len(sparse_paths) - len(keep)
+            if skipped:
+                logger.info(f"Resume: skipping {skipped:,} completed frames")
+            img_paths = [img_paths[j] for j in keep]
+            sparse_paths = [sparse_paths[j] for j in keep]
+            segmask_paths = [segmask_paths[j] for j in keep]
+        elif resume and use_prev_latent:
+            logger.warning(
+                "--resume is ignored with --use-prev-latent (temporal state "
+                "depends on every previous frame)"
+            )
+
         is_segmask_enabled = any(p is not None for p in segmask_paths)
         progbar = tqdm.tqdm(
             total=len(img_paths),
@@ -387,23 +444,64 @@ def run_predict(
         )
         postfix: dict[str, Any] = {}
         prev_latents = None
-        for i in range(0, len(img_paths), batch_size):
+
+        def load_batch(i: int) -> dict[str, Any]:
+            """Threaded decode of one batch (runs ahead of the accelerator)."""
             b_img_paths = img_paths[i : i + batch_size]
             b_sparse_paths = sparse_paths[i : i + batch_size]
             b_segmask_paths = segmask_paths[i : i + batch_size]
-            progbar_n = len(b_img_paths)
-
-            time_io = 0.0
-            stime = time.time()
-            imgs_list = load_img_arrays(b_img_paths, mode="RGB", num_threads=len(b_img_paths))
+            t0 = time.time()
+            imgs_list = load_img_arrays(
+                b_img_paths, mode="RGB", num_threads=len(b_img_paths)
+            )
             sparses_list = load_img_arrays(
                 b_sparse_paths, mode="RGB", num_threads=len(b_sparse_paths)
             )
             segmasks_list: list[np.ndarray | None] = []
             if is_segmask_enabled:
                 segmasks_list = load_img_arrays(
-                    [p for p in b_segmask_paths], mode="RGB", num_threads=len(b_segmask_paths)
+                    list(b_segmask_paths), mode="RGB", num_threads=len(b_segmask_paths)
                 )
+            return {
+                "i": i,
+                "img_paths": b_img_paths,
+                "sparse_paths": b_sparse_paths,
+                "imgs": imgs_list,
+                "sparses": sparses_list,
+                "segmasks": segmasks_list,
+                "load_s": time.time() - t0,
+            }
+
+        # Double-buffered host pipeline: decode batch i+1 while the
+        # accelerator runs batch i (the reference's threaded loaders only
+        # parallelize within a batch, predict.py:612-633). Prefetch depth is
+        # bounded at 2 batches to cap host memory.
+        import collections
+        import concurrent.futures
+
+        starts = iter(range(0, len(img_paths), batch_size))
+        prefetcher = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        pending: collections.deque = collections.deque()
+        for _ in range(2):
+            s = next(starts, None)
+            if s is not None:
+                pending.append(prefetcher.submit(load_batch, s))
+
+        while pending:
+            fut = pending.popleft()
+            s = next(starts, None)
+            if s is not None:
+                pending.append(prefetcher.submit(load_batch, s))
+            batch = fut.result()
+            i = batch["i"]
+            b_img_paths = batch["img_paths"]
+            b_sparse_paths = batch["sparse_paths"]
+            imgs_list = batch["imgs"]
+            sparses_list = batch["sparses"]
+            segmasks_list = batch["segmasks"]
+            progbar_n = len(b_img_paths)
+            time_io = batch["load_s"]
+            stime = time.time()
 
             flags = []
             for j in range(len(imgs_list)):
@@ -523,6 +621,7 @@ def run_predict(
             postfix["time/vis"] = time_vis
             progbar.set_postfix(postfix)
             progbar.update(progbar_n)
+        prefetcher.shutdown(wait=True)
         progbar.close()
         logger.success(f"Finished processing {dataset_dir.name}")
     logger.success(f"Finished processing all {len(dataset_dirs):,} datasets")
