@@ -44,6 +44,14 @@ from depth_completion_tpu.logger import LOG_LEVELS, logger
               show_default=True, help="IO threads.")
 @click.option("--accel", type=bool, default=True, show_default=True,
               help="Accelerator toggle (interface parity with the reference's --cuda).")
+@click.option("--gt-dir", type=str, default=None, show_default=True,
+              help="Ground-truth subdirectory name inside each dataset dir "
+              "(e.g. 'groundtruth' for KITTI-DC). Default: self-consistency "
+              "vs the sparse input, as the reference does.")
+@click.option("--gt-format", type=click.Choice(["png8", "png16", "array"]),
+              default="png16", show_default=True,
+              help="Ground-truth encoding: png16 = KITTI v/256 m; png8 = "
+              "8-bit channel-0 v/255*max; array = metric npy/npz/bl2/dcz.")
 def main(
     dataset_root: Path,
     result_root: Path,
@@ -58,6 +66,8 @@ def main(
     batch_size: int,
     num_threads: int,
     accel: bool,
+    gt_dir: str | None,
+    gt_format: str,
 ) -> None:
     logger.configure(level=log_level, log_path=log)
 
@@ -84,6 +94,8 @@ def main(
             min_depth=min_depth,
             batch_size=batch_size,
             num_threads=num_threads,
+            gt_dir=gt_dir,
+            gt_format=gt_format,
             progress=progress,
         )
     except FileNotFoundError as e:

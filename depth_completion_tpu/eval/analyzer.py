@@ -8,10 +8,14 @@ Semantics preserved from reference analyze.py:155-357:
   are means of per-batch means; binned masks use inclusive bounds
 - per-dataset ``results.json`` + global ``results_all.json``
 
-Extension over the reference: ``gt_dir_name`` lets a true ground-truth
-directory (e.g. KITTI-DC ``groundtruth``) replace the sparse maps as the
-comparison target while keeping the same pairing logic — the BASELINE.md
-KITTI/NYU configs need this.
+Extension over the reference: ``gt_dir`` lets a true ground-truth directory
+(e.g. KITTI-DC ``groundtruth``) replace the sparse maps as the comparison
+target while keeping the same pairing logic — the BASELINE.md KITTI/NYU
+configs need this. ``gt_format`` decodes it:
+
+- "png8":  the reference's 8-bit channel-0 convention (v/255 · max_depth)
+- "png16": KITTI-DC 16-bit PNGs (depth = v/256 meters, 0 = invalid)
+- "array": npy/npz/bl2/dcz metric depth arrays
 """
 
 from __future__ import annotations
@@ -56,6 +60,31 @@ def _pair_paths(sparse_dir: Path, dense_dir: Path) -> tuple[list[Path], list[Pat
     return sparse_paths, dense_paths
 
 
+def _load_gt_batch(
+    gt_paths: list[Path],
+    gt_format: str,
+    max_sparse_depth: float,
+    num_threads: int,
+) -> np.ndarray:
+    """[B,H,W,1] metric ground-truth depth; 0 marks invalid pixels."""
+    if gt_format == "png8":
+        imgs = load_img_arrays(gt_paths, mode="RGB", num_threads=num_threads)
+        return to_depth(np.stack(imgs), max_distance=max_sparse_depth)
+    if gt_format == "png16":
+        import cv2
+
+        outs = []
+        for p in gt_paths:
+            raw = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+            outs.append(raw.astype(np.float32) / 256.0)
+        return np.stack(outs)[..., np.newaxis]
+    if gt_format == "array":
+        arrs = load_arrays(gt_paths, num_threads=num_threads)
+        out = np.stack(arrs).astype(np.float32)
+        return out if out.ndim == 4 else out[..., np.newaxis]
+    raise ValueError(f"Unknown gt format: {gt_format}")
+
+
 def analyze_datasets(
     dataset_root: Path,
     result_root: Path,
@@ -67,6 +96,8 @@ def analyze_datasets(
     min_depth: float = 0.0,
     batch_size: int = 32,
     num_threads: int = 8,
+    gt_dir: str | None = None,
+    gt_format: str = "png16",
     progress: Any | None = None,
 ) -> dict[str, Any]:
     """Run the evaluation; writes results.json files, returns the global dict."""
@@ -99,6 +130,29 @@ def analyze_datasets(
                 f"No dense & sparse pairs found for {dataset_dir.name}. Skip"
             )
             continue
+
+        gt_paths: list[Path] | None = None
+        if gt_dir is not None:
+            gt_root = dataset_dir / gt_dir
+            gt_paths = []
+            keep = []
+            for j, sp in enumerate(sparse_paths):
+                rel = sp.relative_to(sparse_dir)
+                if gt_format == "array":
+                    gp = find_file_with_exts(gt_root / rel, NPARRAY_EXTS)
+                else:
+                    gp = gt_root / rel.with_suffix(".png")
+                    gp = gp if gp.exists() else None
+                if gp is None:
+                    logger.warning(f"No ground truth for {sp} (skipped)")
+                    continue
+                gt_paths.append(gp)
+                keep.append(j)
+            sparse_paths = [sparse_paths[j] for j in keep]
+            dense_paths = [dense_paths[j] for j in keep]
+            if not sparse_paths:
+                logger.warning(f"No GT pairs for {dataset_dir.name}. Skip")
+                continue
         logger.info(f"Found {len(sparse_paths):,} pairs for {dataset_dir.name}")
 
         d_overall: dict[str, list[float]] = {m: [] for m in metrics}
@@ -111,10 +165,18 @@ def analyze_datasets(
         for i in range(0, len(sparse_paths), batch_size):
             sp = sparse_paths[i : i + batch_size]
             dp = dense_paths[i : i + batch_size]
-            sparses = to_depth(
-                np.stack(load_img_arrays(sp, mode="RGB", num_threads=num_threads)),
-                max_distance=max_sparse_depth,
-            )  # [B,H,W,1]
+            if gt_paths is not None:
+                # true-GT evaluation: target = ground truth, mask = gt>0
+                sparses = _load_gt_batch(
+                    gt_paths[i : i + batch_size], gt_format, max_sparse_depth,
+                    num_threads,
+                )
+            else:
+                # reference behavior: self-consistency vs the sparse input
+                sparses = to_depth(
+                    np.stack(load_img_arrays(sp, mode="RGB", num_threads=num_threads)),
+                    max_distance=max_sparse_depth,
+                )  # [B,H,W,1]
             denses = np.stack(load_arrays(dp, num_threads=num_threads))
             denses = denses.reshape(sparses.shape)
             mask = sparses > 0
