@@ -134,16 +134,56 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+def _small_kv_attention(q, k, v, num_heads):
+    """Attention for tiny KV lengths (the 2-token empty-prompt context).
+
+    A [S, 2]-shaped logits tensor puts 2 elements on the 128-lane minor
+    dimension — a 64× padded layout that costs more bandwidth than the whole
+    matmul. Instead unroll over KV tokens: logits become [N, S, H] arrays
+    (well-laid-out) and the output is a weighted sum of per-token outer
+    products. Numerically identical to softmax attention.
+    """
+    n, sq, c = q.shape
+    sk = k.shape[1]
+    hd = c // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    qh = q.reshape(n, sq, num_heads, hd)
+    kh = k.reshape(n, sk, num_heads, hd)
+    vh = v.reshape(n, sk, num_heads, hd)
+    # per-token logits [N, S, H] in fp32
+    logits = [
+        jnp.einsum(
+            "nshd,nhd->nsh", qh, kh[:, j], preferred_element_type=jnp.float32
+        )
+        * scale
+        for j in range(sk)
+    ]
+    m = logits[0]
+    for term in logits[1:]:
+        m = jnp.maximum(m, term)
+    exps = [jnp.exp(term - m) for term in logits]
+    denom = sum(exps)
+    out = None
+    for j in range(sk):
+        w = (exps[j] / denom).astype(q.dtype)  # [N, S, H]
+        term = jnp.einsum("nsh,nhd->nshd", w, vh[:, j])
+        out = term if out is None else out + term
+    return out.reshape(n, sq, c)
+
+
 def attention(q, k, v, num_heads):
     """Multi-head scaled dot-product attention over [N, S, C] tensors.
 
     fp32 softmax; bf16 matmuls accumulate fp32 on the MXU via
     preferred_element_type. Replaced by a fused Pallas kernel on TPU for the
-    UNet hot path (see ops/pallas_attention.py); this is the reference/XLA
-    fallback with identical semantics.
+    UNet hot path (see ops/flash_attention.py); this is the reference/XLA
+    fallback with identical semantics. KV lengths ≤ 4 route to an unrolled,
+    layout-friendly path (cross-attention over the cached empty prompt).
     """
     n, sq, c = q.shape
     sk = k.shape[1]
+    if sk <= 4 and c % num_heads == 0:
+        return _small_kv_attention(q, k, v, num_heads)
     hd = c // num_heads
     qh = q.reshape(n, sq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(n, sk, num_heads, hd).transpose(0, 2, 1, 3)

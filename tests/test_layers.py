@@ -123,3 +123,24 @@ def test_linear():
     p = {"kernel": jnp.asarray([[1.0, 2.0], [3.0, 4.0]]), "bias": jnp.asarray([0.5, -0.5])}
     out = linear(p, jnp.asarray([[1.0, 1.0]]))
     np.testing.assert_allclose(np.asarray(out), [[4.5, 5.5]])
+
+
+def test_small_kv_attention_matches_general():
+    """KV=2 path must equal full softmax attention (cross-attn context)."""
+    rng = np.random.default_rng(5)
+    n, s, c, h = 2, 32, 64, 4
+    q = rng.normal(size=(n, s, c)).astype(np.float32)
+    k = rng.normal(size=(n, 2, c)).astype(np.float32)
+    v = rng.normal(size=(n, 2, c)).astype(np.float32)
+    ours = attention(*map(jnp.asarray, (q, k, v)), num_heads=h)
+    qt, kt, vt = (
+        torch.from_numpy(a).reshape(a.shape[0], a.shape[1], h, c // h).transpose(1, 2)
+        for a in (q, k, v)
+    )
+    ref = (
+        torch.nn.functional.scaled_dot_product_attention(qt, kt, vt)
+        .transpose(1, 2)
+        .reshape(n, s, c)
+        .numpy()
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
