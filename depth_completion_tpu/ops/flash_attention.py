@@ -241,19 +241,19 @@ def _bwd_dq_kernel(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
-def _flash(q, k, v, sm_scale, block_q, block_k, kv_len):
+def _flash(q, k, v, sm_scale, block_q, block_k, bwd_block_q, bwd_block_k, kv_len):
     o, _, _ = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
     return o
 
 
-def _flash_fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
+def _flash_fwd(q, k, v, sm_scale, block_q, block_k, bwd_block_q, bwd_block_k, kv_len):
     o, l, m = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
     return o, (q, k, v, o, l, m)
 
 
-def _flash_bwd(sm_scale, block_q, block_k, kv_len, res, do):
+def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res, do):
     q, k, v, o, l, m = res
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -336,9 +336,11 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_heads: int,
-    block_q: int = 256,
-    block_k: int = 256,
-    min_seq_len: int = 1024,
+    block_q: int = 512,
+    block_k: int = 1024,
+    bwd_block_q: int = 1024,
+    bwd_block_k: int = 1024,
+    min_seq_len: int = 768,
 ) -> jnp.ndarray:
     """Drop-in replacement for ``layers.attention`` backed by Pallas.
 
@@ -362,8 +364,11 @@ def flash_attention(
     sm_scale = 1.0 / math.sqrt(d)
     bq = min(block_q, _next_multiple(sq, _LANES))
     bk = min(block_k, _next_multiple(sk, _LANES))
-    sq_pad = _next_multiple(sq, bq)
-    sk_pad = _next_multiple(sk, bk)
+    bbq = min(bwd_block_q, _next_multiple(sq, _LANES))
+    bbk = min(bwd_block_k, _next_multiple(sk, _LANES))
+    # padding must satisfy both forward and backward tilings
+    sq_pad = _next_multiple(sq, math.lcm(bq, bbq))
+    sk_pad = _next_multiple(sk, math.lcm(bk, bbk))
 
     def split_heads(x, s_pad):
         s = x.shape[1]
@@ -376,6 +381,6 @@ def flash_attention(
     qh = split_heads(q, sq_pad)
     kh = split_heads(k, sk_pad)
     vh = split_heads(v, sk_pad)
-    o = _flash(qh, kh, vh, sm_scale, bq, bk, sk)
+    o = _flash(qh, kh, vh, sm_scale, bq, bk, bbq, bbk, sk)
     o = o[:, :sq, :].reshape(n, num_heads, sq, d).transpose(0, 2, 1, 3)
     return o.reshape(n, sq, c).astype(q.dtype)
