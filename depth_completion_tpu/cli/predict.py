@@ -158,6 +158,12 @@ SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
               "jobs partition work by frame; shards are independent).")
 @click.option("--num-shards", type=click.IntRange(min=1), default=1, show_default=True,
               help="Total number of workers sharding the frame list.")
+@click.option("--ensemble", type=click.IntRange(min=1), default=1, show_default=True,
+              help="Ensemble members per frame (median/alignment reduce; "
+              "members shard over the device mesh). New capability beyond "
+              "the reference's single-member path (marigold_dc.py:696-698).")
+@click.option("--ensemble-reduce", type=click.Choice(["median", "mean"]),
+              default="median", show_default=True, help="Ensemble reduction.")
 def main(**kw: Any) -> None:
     run_predict(**kw)
 
@@ -207,6 +213,8 @@ def run_predict(
     resume: bool = False,
     shard_index: int = 0,
     num_shards: int = 1,
+    ensemble: int = 1,
+    ensemble_reduce: str = "median",
 ) -> None:
     import os
 
@@ -266,6 +274,12 @@ def run_predict(
             "batch_size is forced to 1 when use_prev_latent=True"
         )
         batch_size = 1
+    if ensemble > 1 and use_prev_latent:
+        logger.error(
+            "ensembling is not supported with --use-prev-latent. "
+            "Falling back to --ensemble=1"
+        )
+        ensemble = 1
     if (projection in ("log", "log10") or inv) and norm == "const":
         logger.error(
             "norm=const is not allowed when projection=log/log10 or inv=True. "
@@ -563,6 +577,8 @@ def run_predict(
                 train_method=train_method,
                 train_steps=train_steps,
                 scheduler=scheduler,
+                ensemble_size=ensemble,
+                ensemble_reduce=ensemble_reduce,
             )
             denses_np = np.asarray(denses, dtype=np.float32)[:n_real]
             if use_prev_latent:

@@ -59,6 +59,8 @@ class ModelBundle:
     vae: VAE
     # [1, S, D] cached empty-prompt CLIP context (S=2 with do_not_pad)
     text_context: jnp.ndarray
+    # diffusion schedule read from the checkpoint's scheduler config (static)
+    ddim_config: Any = None  # DDIMConfig | None → sampler default
 
 
 # Register VAE and ModelBundle as pytrees: params are children (traced /
@@ -71,9 +73,16 @@ jax.tree_util.register_pytree_node(
 )
 jax.tree_util.register_pytree_node(
     ModelBundle,
-    lambda b: ((b.unet_params, b.vae, b.text_context), (b.unet_config,)),
+    lambda b: (
+        (b.unet_params, b.vae, b.text_context),
+        (b.unet_config, b.ddim_config),
+    ),
     lambda aux, ch: ModelBundle(
-        unet_params=ch[0], unet_config=aux[0], vae=ch[1], text_context=ch[2]
+        unet_params=ch[0],
+        unet_config=aux[0],
+        vae=ch[1],
+        text_context=ch[2],
+        ddim_config=aux[1],
     ),
 )
 
@@ -127,28 +136,63 @@ def make_random_bundle(
     )
 
 
+def _read_json(path: Path) -> dict | None:
+    import json
+
+    return json.loads(path.read_text()) if path.exists() else None
+
+
 def load_bundle(
     model_dir: Path,
     vae_kind: str = "tiny",
     taesd_dir: Path | None = None,
     dtype=jnp.bfloat16,
-    unet_config: UNetConfig = registry.MARIGOLD_UNET_CONFIG,
-    text_config: CLIPTextConfig = registry.SD2_TEXT_CONFIG,
+    unet_config: UNetConfig | None = None,
+    text_config: CLIPTextConfig | None = None,
 ) -> ModelBundle:
     """Load a Marigold HF-layout checkpoint directory.
 
-    ``model_dir`` holds ``unet/``, ``vae/``, ``text_encoder/`` subfolders;
-    ``taesd_dir`` (flat safetensors) replaces the VAE when vae_kind="tiny" —
-    the reference's default pipeline assembly (predict.py:478-488).
+    ``model_dir`` holds ``unet/``, ``vae/``, ``text_encoder/``, ``scheduler/``
+    subfolders; ``taesd_dir`` (flat safetensors) replaces the VAE when
+    vae_kind="tiny" — the reference's default pipeline assembly
+    (predict.py:478-488). Model geometry and the diffusion schedule are read
+    from the checkpoint's config JSONs when present; explicit ``unet_config``
+    / ``text_config`` arguments override.
     """
     model_dir = Path(model_dir)
+
+    if unet_config is None:
+        cfg_json = _read_json(model_dir / "unet" / "config.json")
+        unet_config = (
+            registry.unet_config_from_diffusers(cfg_json)
+            if cfg_json
+            else registry.MARIGOLD_UNET_CONFIG
+        )
+    if text_config is None:
+        cfg_json = _read_json(model_dir / "text_encoder" / "config.json")
+        text_config = (
+            registry.text_config_from_transformers(cfg_json)
+            if cfg_json
+            else registry.SD2_TEXT_CONFIG
+        )
+    sched_json = _read_json(model_dir / "scheduler" / "scheduler_config.json")
+    ddim_config = (
+        registry.ddim_config_from_diffusers(sched_json) if sched_json else None
+    )
+
     unet_params = weights.load_unet(model_dir / "unet", dtype)
     if vae_kind == "tiny":
         if taesd_dir is None:
             raise ValueError("taesd_dir is required for vae_kind='tiny'")
         vae = VAE("tiny", weights.load_taesd(Path(taesd_dir), dtype), registry.TAESD_CONFIG)
     else:
-        vae = VAE("kl", weights.load_vae(model_dir / "vae", dtype), registry.SD_VAE_CONFIG)
+        vae_json = _read_json(model_dir / "vae" / "config.json")
+        vae_cfg = (
+            registry.vae_config_from_diffusers(vae_json)
+            if vae_json
+            else registry.SD_VAE_CONFIG
+        )
+        vae = VAE("kl", weights.load_vae(model_dir / "vae", dtype), vae_cfg)
     text_params = weights.load_text_encoder(model_dir / "text_encoder", dtype)
     ids = jnp.asarray(clip_text.empty_prompt_ids(text_config))
     ctx = clip_text.apply_text_encoder(text_params, ids, text_config)
@@ -157,4 +201,5 @@ def load_bundle(
         unet_config=unet_config,
         vae=vae,
         text_context=ctx.astype(dtype),
+        ddim_config=ddim_config,
     )

@@ -103,3 +103,89 @@ SDXL_SCALE_UNET_CONFIG = UNetConfig(
     transformer_layers=2,
     cross_attention_dim=2048,
 )
+
+
+def unet_config_from_diffusers(cfg: dict) -> UNetConfig:
+    """Build a UNetConfig from a diffusers ``unet/config.json`` dict.
+
+    Supports the SD1/SD2/Marigold family of ``UNet2DConditionModel`` configs
+    (cross-attn down/up blocks, optional final plain block).
+    """
+    blocks = tuple(cfg["block_out_channels"])
+    down_types = cfg.get(
+        "down_block_types",
+        ["CrossAttnDownBlock2D"] * (len(blocks) - 1) + ["DownBlock2D"],
+    )
+    attention_stages = tuple("CrossAttn" in t for t in down_types)
+    head_dim = cfg.get("attention_head_dim", 8)
+    if isinstance(head_dim, (list, tuple)):
+        # diffusers quirk: this field historically stores per-stage head
+        # *counts* for SD2-class configs
+        num_heads = tuple(head_dim)
+    else:
+        num_heads = tuple(max(c // 64, 1) for c in blocks)
+    return UNetConfig(
+        in_channels=cfg.get("in_channels", 8),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=blocks,
+        layers_per_block=cfg.get("layers_per_block", 2),
+        cross_attention_dim=cfg.get("cross_attention_dim", 1024),
+        num_heads=num_heads,
+        attention_stages=attention_stages,
+        transformer_layers=cfg.get("transformer_layers_per_block", 1)
+        if isinstance(cfg.get("transformer_layers_per_block", 1), int)
+        else 1,
+        norm_groups=cfg.get("norm_num_groups", 32),
+        norm_eps=cfg.get("norm_eps", 1e-5),
+    )
+
+
+def vae_config_from_diffusers(cfg: dict) -> VAEConfig:
+    """Build a VAEConfig from a diffusers ``vae/config.json`` dict."""
+    return VAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
+def ddim_config_from_diffusers(cfg: dict):
+    """Build a DDIMConfig from ``scheduler/scheduler_config.json``."""
+    from depth_completion_tpu.sched.ddim import DDIMConfig
+
+    schedule = cfg.get("beta_schedule", "scaled_linear")
+    if schedule == "squaredcos_cap_v2":
+        schedule = "squaredcos"
+    return DDIMConfig(
+        num_train_timesteps=cfg.get("num_train_timesteps", 1000),
+        beta_start=cfg.get("beta_start", 0.00085),
+        beta_end=cfg.get("beta_end", 0.012),
+        beta_schedule=schedule,
+        prediction_type=cfg.get("prediction_type", "v_prediction"),
+        set_alpha_to_one=cfg.get("set_alpha_to_one", False),
+        steps_offset=cfg.get("steps_offset", 1),
+        clip_sample=cfg.get("clip_sample", False),
+        clip_sample_range=cfg.get("clip_sample_range", 1.0),
+        # trailing spacing regardless of the stored config — the reference
+        # rebuilds the scheduler with trailing (predict.py:490-498)
+        timestep_spacing="trailing",
+    )
+
+
+def text_config_from_transformers(cfg: dict) -> CLIPTextConfig:
+    """Build a CLIPTextConfig from ``text_encoder/config.json``."""
+    return CLIPTextConfig(
+        vocab_size=cfg.get("vocab_size", 49408),
+        hidden_size=cfg.get("hidden_size", 1024),
+        num_layers=cfg.get("num_hidden_layers", 23),
+        num_heads=cfg.get("num_attention_heads", 16),
+        intermediate_size=cfg.get("intermediate_size", 4096),
+        max_position_embeddings=cfg.get("max_position_embeddings", 77),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+        hidden_act=cfg.get("hidden_act", "gelu"),
+        bos_token_id=cfg.get("bos_token_id", 49406),
+        eos_token_id=cfg.get("eos_token_id", 49407),
+    )

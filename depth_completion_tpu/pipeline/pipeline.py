@@ -25,6 +25,17 @@ from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
 _jitted_sample = jax.jit(guided_sample, static_argnames=("cfg",))
 
 
+def _ensemble(bundle, images, sparses, cfg, ensemble_size, reduce):
+    from depth_completion_tpu.parallel.ensemble import ensemble_sample
+
+    return ensemble_sample(bundle, images, sparses, cfg, ensemble_size, reduce)
+
+
+_jitted_ensemble = jax.jit(
+    _ensemble, static_argnames=("cfg", "ensemble_size", "reduce")
+)
+
+
 def from_nchw(x: np.ndarray | jnp.ndarray) -> np.ndarray | jnp.ndarray:
     """[N,C,H,W] → [N,H,W,C] convenience for reference-style callers."""
     return jnp.transpose(x, (0, 2, 3, 1)) if isinstance(x, jnp.ndarray) else np.transpose(x, (0, 2, 3, 1))
@@ -79,6 +90,11 @@ class DepthCompletionPipeline:
         lr = config_overrides.pop("lr", None)
         if lr is not None:
             config_overrides["lr_latent"], config_overrides["lr_scaling"] = lr
+        ensemble_size = int(config_overrides.pop("ensemble_size", 1))
+        ensemble_reduce = config_overrides.pop("ensemble_reduce", "median")
+        # schedule from the checkpoint unless explicitly overridden
+        if "ddim" not in config_overrides and self.bundle.ddim_config is not None:
+            config_overrides["ddim"] = self.bundle.ddim_config
 
         cfg = SamplerConfig(
             min_depth=min_depth, max_depth=max_depth, **config_overrides
@@ -87,6 +103,23 @@ class DepthCompletionPipeline:
 
         if pred_latents_prev is not None:
             pred_latents_prev = jnp.asarray(pred_latents_prev)
+
+        if ensemble_size > 1:
+            if pred_latents_prev is not None:
+                raise ValueError(
+                    "temporal latent carry is not supported with ensembling"
+                )
+            denses, members = _jitted_ensemble(
+                self.bundle,
+                images,
+                sparses,
+                cfg=cfg,
+                ensemble_size=ensemble_size,
+                reduce=ensemble_reduce,
+            )
+            # return the median members' latents is ill-defined; return the
+            # reduced denses plus per-member denses for diagnostics
+            return denses, members
 
         return _jitted_sample(
             self.bundle, images, sparses, cfg, pred_latents_prev

@@ -149,3 +149,13 @@ def test_config_validation(pipe, inputs):
     with pytest.raises(ValueError):
         # log projection requires positive min_depth
         pipe(images, sparse, max_depth=120.0, min_depth=0.0, projection="log")
+
+
+def test_pipeline_ensemble_api(pipe, inputs):
+    images, sparse = inputs
+    denses, members = pipe(
+        images, sparse, ensemble_size=2, ensemble_reduce="median", **COMMON
+    )
+    assert np.asarray(denses).shape == (1, 48, 64, 1)
+    assert np.asarray(members).shape == (1, 2, 48, 64, 1)
+    assert np.isfinite(np.asarray(denses)).all()
