@@ -164,6 +164,14 @@ SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
               "the reference's single-member path (marigold_dc.py:696-698).")
 @click.option("--ensemble-reduce", type=click.Choice(["median", "mean"]),
               default="median", show_default=True, help="Ensemble reduction.")
+@click.option("--mesh-model", type=click.IntRange(min=1), default=1, show_default=True,
+              help="Tensor-parallel axis size of the device mesh (weights "
+              "sharded over attention heads/MLP channels). Remaining devices "
+              "form the data axis for frames/ensemble members.")
+@click.option("--profile-dir", type=click.Path(path_type=Path), default=None,
+              show_default=True,
+              help="Write a jax.profiler trace of the first inference batch "
+              "to this directory (TensorBoard format).")
 def main(**kw: Any) -> None:
     run_predict(**kw)
 
@@ -215,6 +223,8 @@ def run_predict(
     num_shards: int = 1,
     ensemble: int = 1,
     ensemble_reduce: str = "median",
+    mesh_model: int = 1,
+    profile_dir: Path | None = None,
 ) -> None:
     import os
 
@@ -341,6 +351,32 @@ def run_predict(
         bundle = load_bundle(
             checkpoint_dir, vae_kind=vae_kind, taesd_dir=taesd_dir, dtype=dtype
         )
+    # Multi-device: shard the bundle over a (data, model) mesh. Frames and
+    # ensemble members ride the data axis; the batch is padded to it.
+    n_devices = jax.device_count()
+    mesh = None
+    if n_devices > 1 or mesh_model > 1:
+        import math
+
+        from depth_completion_tpu.core.mesh import MeshSpec, make_mesh
+        from depth_completion_tpu.parallel.sharding import shard_bundle
+
+        # The data axis must divide batch_size·ensemble; size it to the gcd
+        # so uneven configs still run (on fewer devices) instead of failing.
+        total_rows = batch_size * ensemble
+        data_axis = math.gcd(total_rows, max(n_devices // mesh_model, 1))
+        if data_axis * mesh_model < n_devices:
+            logger.warning(
+                f"Using {data_axis * mesh_model}/{n_devices} devices — make "
+                f"batch_size*ensemble ({total_rows}) a multiple of "
+                f"{n_devices // mesh_model} to use the full mesh"
+            )
+        mesh = make_mesh(
+            MeshSpec(data=data_axis, model=mesh_model),
+            devices=jax.devices()[: data_axis * mesh_model],
+        )
+        bundle = shard_bundle(mesh, bundle, tensor_parallel=mesh_model > 1)
+        logger.info(f"Mesh: data={data_axis} x model={mesh_model}")
     pipe = DepthCompletionPipeline(bundle)
     scheduler = "lcm" if model == "lcm" else "ddim"
     logger.info(f"Devices: {jax.devices()}")
@@ -551,6 +587,16 @@ def run_predict(
                 # passes them to the pipeline (predict.py:660-694)
             time_io += time.time() - stime
 
+            if mesh is not None:
+                from depth_completion_tpu.parallel.sharding import shard_batch
+
+                batch_imgs, batch_sparses = shard_batch(
+                    mesh, batch_imgs, batch_sparses
+                )
+
+            profiling = profile_dir is not None and i == 0
+            if profiling:
+                jax.profiler.start_trace(str(profile_dir))
             stime_infer = time.time()
             denses, latents = pipe(
                 batch_imgs,
@@ -581,6 +627,9 @@ def run_predict(
                 ensemble_reduce=ensemble_reduce,
             )
             denses_np = np.asarray(denses, dtype=np.float32)[:n_real]
+            if profiling:
+                jax.profiler.stop_trace()
+                logger.info(f"Saved profiler trace to {profile_dir}")
             if use_prev_latent:
                 prev_latents = latents
             postfix["time/infer"] = time.time() - stime_infer

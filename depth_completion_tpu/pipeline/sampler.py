@@ -151,8 +151,11 @@ def decode_prediction(bundle: ModelBundle, latents: jnp.ndarray) -> jnp.ndarray:
 
     Marigold decode semantics: VAE decode → mean over RGB channels →
     clip [-1,1] → (x+1)/2 (the `decode_prediction` contract the reference
-    inherits, SURVEY.md §2.2).
+    inherits, SURVEY.md §2.2). Decode runs in the model compute dtype (bf16
+    by default, as the reference's bf16 pipeline does) — the fp32 Tweedie
+    preview is cast down at the decode boundary.
     """
+    latents = latents.astype(bundle.text_context.dtype)
     rgb = bundle.vae.decode(latents)  # [N, PPH, PPW, 3] in [-1, 1]
     depth = jnp.mean(rgb, axis=-1, keepdims=True)
     depth = jnp.clip(depth, -1.0, 1.0)
