@@ -24,6 +24,10 @@ import time
 
 import numpy as np
 
+# persist compiled programs across runs (the 50-step program takes minutes)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dct_xla_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 REFERENCE_FRAMES_PER_SEC = 0.33  # provisional; see BASELINE.md
 
 

@@ -92,3 +92,26 @@ def test_short_kv_falls_back():
     out = fa.flash_attention(q, k, v, num_heads=2)  # min_seq_len default 1024
     ref = xla_attention(q, k, v, num_heads=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_forward_head_dim_128():
+    q, k, v = _qkv(s=128, c=256)  # 2 heads x 128
+    out = fa.flash_attention(q, k, v, num_heads=2, block_q=128, block_k=128,
+                             bwd_block_q=128, bwd_block_k=128, min_seq_len=1)
+    ref = xla_attention(q, k, v, num_heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_mixed_fwd_bwd_blocks():
+    q, k, v = _qkv(s=320, c=128)  # pad to lcm coverage
+    def loss(q, k, v):
+        o = fa.flash_attention(q, k, v, 2, block_q=128, block_k=256,
+                               bwd_block_q=256, bwd_block_k=128, min_seq_len=1)
+        return jnp.sum(o * o)
+    def loss_ref(q, k, v):
+        o = xla_attention(q, k, v, 2)
+        return jnp.sum(o * o)
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)

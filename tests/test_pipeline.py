@@ -159,3 +159,10 @@ def test_pipeline_ensemble_api(pipe, inputs):
     assert np.asarray(denses).shape == (1, 48, 64, 1)
     assert np.asarray(members).shape == (1, 2, 48, 64, 1)
     assert np.isfinite(np.asarray(denses)).all()
+
+
+def test_detach_unet_grad_mode(pipe, inputs):
+    """Fast-guidance mode: grads skip the UNet backward; still anchors-aware."""
+    images, sparse = inputs
+    denses, _ = pipe(images, sparse, detach_unet_grad=True, **COMMON)
+    assert np.isfinite(np.asarray(denses)).all()
