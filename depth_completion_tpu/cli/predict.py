@@ -466,6 +466,7 @@ def run_predict(
 
         # Idempotent resume: per-frame outputs make re-runs complete only
         # what is missing.
+        prev_latents_restored = None
         if resume and not use_prev_latent:
             def _done(sp: Path) -> bool:
                 out_path = (
@@ -481,10 +482,24 @@ def run_predict(
             sparse_paths = [sparse_paths[j] for j in keep]
             segmask_paths = [segmask_paths[j] for j in keep]
         elif resume and use_prev_latent:
-            logger.warning(
-                "--resume is ignored with --use-prev-latent (temporal state "
-                "depends on every previous frame)"
-            )
+            # Temporal mode resumes from the on-disk latent carry written
+            # after every frame: skip up to the last completed frame, restore
+            # its latents (SURVEY.md §5 checkpoint/resume for video jobs).
+            state_path = out_dir / "latent_state.npz"
+            if state_path.exists():
+                state = np.load(state_path, allow_pickle=True)
+                last_name = str(state["frame_name"])
+                names = [p.name for p in sparse_paths]
+                if last_name in names:
+                    cut = names.index(last_name) + 1
+                    prev_latents_restored = state["latents"]
+                    logger.info(
+                        f"Resume (temporal): skipping {cut:,} frames, latents "
+                        f"restored from {state_path}"
+                    )
+                    img_paths = img_paths[cut:]
+                    sparse_paths = sparse_paths[cut:]
+                    segmask_paths = segmask_paths[cut:]
 
         is_segmask_enabled = any(p is not None for p in segmask_paths)
         progbar = tqdm.tqdm(
@@ -494,6 +509,8 @@ def run_predict(
         )
         postfix: dict[str, Any] = {}
         prev_latents = None
+        if prev_latents_restored is not None:
+            prev_latents = jnp.asarray(prev_latents_restored)
 
         def load_batch(i: int) -> dict[str, Any]:
             """Threaded decode of one batch (runs ahead of the accelerator)."""
@@ -632,6 +649,13 @@ def run_predict(
                 logger.info(f"Saved profiler trace to {profile_dir}")
             if use_prev_latent:
                 prev_latents = latents
+                # on-disk latent carry → temporal jobs are resumable
+                out_dir.mkdir(parents=True, exist_ok=True)
+                np.savez(
+                    out_dir / "latent_state.npz",
+                    frame_name=b_sparse_paths[-1].name,
+                    latents=np.asarray(latents, dtype=np.float32),
+                )
             postfix["time/infer"] = time.time() - stime_infer
 
             time_vis = 0.0

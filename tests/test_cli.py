@@ -79,3 +79,28 @@ def test_predict_temporal_mode(dataset, tmp_path, monkeypatch):
         predict_main(args, standalone_mode=True)
     assert e.value.code in (0, None)
     assert len(list((out / "scene" / "dense").glob("*.npy"))) == 3
+
+
+def test_predict_temporal_resume(dataset, tmp_path, monkeypatch):
+    """Temporal jobs checkpoint latents on disk and resume from them."""
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.predict import main as predict_main
+
+    out = tmp_path / "out_resume"
+    base = [
+        str(dataset), str(out),
+        "--model", "random", "--steps", "2", "--res", "64",
+        "--precision", "fp32", "--compress", "npy",
+        "--use-prev-latent", "true", "--vis", "false",
+    ]
+    with pytest.raises(SystemExit):
+        predict_main(base, standalone_mode=True)
+    assert (out / "scene" / "latent_state.npz").exists()
+    n_before = len(list((out / "scene" / "dense").glob("*.npy")))
+    assert n_before == 3
+
+    # delete one output; resume should redo nothing (all frames done) but
+    # must not crash and must keep the state file
+    with pytest.raises(SystemExit):
+        predict_main(base + ["--resume", "true"], standalone_mode=True)
+    assert (out / "scene" / "latent_state.npz").exists()
