@@ -150,10 +150,11 @@ def _small_kv_attention(q, k, v, num_heads):
     qh = q.reshape(n, sq, num_heads, hd)
     kh = k.reshape(n, sk, num_heads, hd)
     vh = v.reshape(n, sk, num_heads, hd)
-    # per-token logits [N, S, H] in fp32
+    # per-token logits [N, H, S] in fp32 — S on the minor (lane) dim; a
+    # [N, S, H] layout would pad H (e.g. 5 heads) to 128 lanes.
     logits = [
         jnp.einsum(
-            "nshd,nhd->nsh", qh, kh[:, j], preferred_element_type=jnp.float32
+            "nshd,nhd->nhs", qh, kh[:, j], preferred_element_type=jnp.float32
         )
         * scale
         for j in range(sk)
@@ -165,8 +166,8 @@ def _small_kv_attention(q, k, v, num_heads):
     denom = sum(exps)
     out = None
     for j in range(sk):
-        w = (exps[j] / denom).astype(q.dtype)  # [N, S, H]
-        term = jnp.einsum("nsh,nhd->nshd", w, vh[:, j])
+        w = (exps[j] / denom).astype(q.dtype)  # [N, H, S]
+        term = jnp.einsum("nhs,nhd->nshd", w, vh[:, j])
         out = term if out is None else out + term
     return out.reshape(n, sq, c)
 
