@@ -166,3 +166,19 @@ def test_detach_unet_grad_mode(pipe, inputs):
     images, sparse = inputs
     denses, _ = pipe(images, sparse, detach_unet_grad=True, **COMMON)
     assert np.isfinite(np.asarray(denses)).all()
+
+
+def test_golden_regression(pipe, inputs):
+    """Seeded tiny run must stay numerically stable across refactors.
+
+    Golden statistics recorded from the validated implementation (jax 0.9,
+    CPU). Loose tolerances absorb backend/version-level reduction noise; a
+    real dataflow change moves these by orders of magnitude more.
+    """
+    images, sparse = inputs
+    d, latents = pipe(images, sparse, **COMMON)
+    d, latents = np.asarray(d), np.asarray(latents)
+    assert abs(d.mean() - 5.137968) < 0.05, d.mean()
+    assert abs(d.std() - 1.799544) < 0.05, d.std()
+    assert abs(latents.mean() - (-0.043031)) < 0.02, latents.mean()
+    assert abs(latents.std() - 0.744239) < 0.02, latents.std()
