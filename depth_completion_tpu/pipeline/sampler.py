@@ -99,11 +99,11 @@ class SamplerConfig:
     scheduler: str = "ddim"  # "ddim" | "lcm"
     ddim: DDIMConfig = DDIMConfig()
     lcm: LCMConfig = LCMConfig()
-    # Rematerialize UNet stages in the guidance backward pass. Off by
-    # default: at Marigold geometry (batch ≲ 8, latent ≤ 96×96) activations
-    # fit HBM comfortably and remat costs an extra forward per step. Enable
-    # for large batches / resolutions.
-    remat_unet: bool = False
+    # Rematerialize UNet stages in the guidance backward pass.
+    # "auto": off at Marigold geometry (batch ≲ 8 at res 768 — activations
+    # fit HBM and remat costs an extra forward per step), on for large
+    # batch·resolution products. "on"/"off" force it.
+    remat_unet: str | bool = "auto"
     # "auto": fused Pallas flash attention on TPU, XLA elsewhere
     flash_attention: str = "auto"  # "auto" | "on" | "off"
     # Acceleration option (deviation from reference when enabled): stop the
@@ -310,6 +310,14 @@ def guided_sample(
     else:
         from depth_completion_tpu.models.layers import attention as attention_fn
 
+    if cfg.remat_unet == "auto":
+        # heuristic: batch × latent area beyond ~4 frames at 96×96 →
+        # rematerialize UNet stages to bound activation memory
+        eh, ew = img_latents.shape[1], img_latents.shape[2]
+        remat_unet = n * eh * ew > 4 * 96 * 96
+    else:
+        remat_unet = bool(cfg.remat_unet)
+
     def unet_eps(latents, t):
         x = jnp.concatenate(
             [img_latents, latents.astype(compute_dtype)], axis=-1
@@ -324,7 +332,7 @@ def guided_sample(
             ctx,
             bundle.unet_config,
             attention_fn=attention_fn,
-            remat=cfg.remat_unet,
+            remat=remat_unet,
         )
 
     train = cfg.train_latents and cfg.scheduler != "lcm"

@@ -76,7 +76,7 @@ def test_one_step_manual_replay_matches_scan():
 
             return apply_unet(
                 bundle.unet_params, x, t, ctx, bundle.unet_config,
-                remat=cfg.remat_unet,
+                remat=False,
             )
 
         params = {"latents": pred_latents}
