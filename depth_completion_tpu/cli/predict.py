@@ -21,7 +21,6 @@ TPU-era differences (documented deviations):
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 import time
 from pathlib import Path

@@ -61,16 +61,6 @@ def _norm_name(leaf: str) -> str:
     return {"weight": "scale", "bias": "bias"}[leaf]
 
 
-_CONV_PREFIXES = (
-    "conv",
-    "downsampler",
-    "upsampler",
-    "down",
-    "up_conv",
-    "quant_conv",
-    "post_quant_conv",
-    "time_emb_proj_CONVNO",  # sentinel, never matches
-)
 
 
 def load_safetensors_dir(path: Path) -> dict[str, np.ndarray]:
