@@ -95,3 +95,28 @@ def test_empty_prompt_is_bos_eos():
     cfg = registry.SD2_TEXT_CONFIG
     ids = empty_prompt_ids(cfg)
     assert ids.tolist() == [[49406, 49407]]
+
+
+def test_unet_multi_transformer_layers():
+    """SDXL-style config: transformer_layers=2 per attention block."""
+    cfg = registry.UNetConfig(
+        block_out_channels=(32, 64),
+        num_heads=(2, 4),
+        attention_stages=(True, True),
+        cross_attention_dim=32,
+        layers_per_block=1,
+        norm_groups=8,
+        transformer_layers=2,
+    )
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    # both inner transformer blocks exist
+    assert len(params["down_blocks"][0]["attentions"][0]["blocks"]) == 2
+    out = apply_unet(
+        params,
+        jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, cfg.in_channels)),
+        jnp.asarray(3),
+        jnp.zeros((1, 2, cfg.cross_attention_dim)),
+        cfg,
+    )
+    assert out.shape == (1, 16, 16, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
