@@ -40,6 +40,11 @@ _LANES = 128
 # Test hook: run kernels in the Pallas interpreter (CPU) instead of Mosaic.
 INTERPRET = False
 
+# One-pass backward (dq partials emitted alongside dk/dv) vs the classic
+# two-kernel flash backward. The fused path computes the score matrix and
+# dp once instead of twice.
+FUSED_BWD = True
+
 
 def _next_multiple(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -197,6 +202,63 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+    dk_ref, dv_ref, dqp_ref, dk_scr, dv_scr,
+    *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
+):
+    """One-pass backward: accumulates dk/dv in scratch and emits per-KV-block
+    dq partials (summed outside the kernel). Avoids the second full
+    recomputation of the score matrix that a separate dq kernel needs."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [block_k, d]
+    v = v_ref[0]
+    do = do_ref[0]  # [block_q, d]
+    l = l_ref[0][:, :1]  # [block_q, 1]
+    m = m_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, MASK_VALUE)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m) * l_inv  # [block_q, block_k]
+
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di)  # [block_q, block_k]
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    # dq partial for this KV block (reduced over ki outside the kernel)
+    dqp_ref[0, 0] = (
+        jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+        * sm_scale
+    ).astype(dqp_ref.dtype)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
     dq_ref, dq_scr,
@@ -263,6 +325,46 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
     di = jnp.broadcast_to(di, (bh, sq, _LANES))
 
     nq, nk = sq // block_q, sk // block_k
+
+    if FUSED_BWD:
+        fused = functools.partial(
+            _bwd_fused_kernel,
+            sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_q_blocks=nq,
+        )
+        dk, dv, dq_partial = pl.pallas_call(
+            fused,
+            grid=(bh, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+                pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda b, ki, qi: (ki, b, qi, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+                jax.ShapeDtypeStruct((nk, bh, sq, d), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=INTERPRET,
+        )(q, k, v, do, l, m, di)
+        dq = jnp.sum(dq_partial, axis=0).astype(q.dtype)
+        return dq, dk, dv
+
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
         sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_q_blocks=nq,

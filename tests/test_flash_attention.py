@@ -115,3 +115,22 @@ def test_mixed_fwd_bwd_blocks():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_two_pass_backward_matches_fused():
+    q, k, v = _qkv(s=256, c=128, seed=7)
+
+    def loss(q, k, v):
+        o = fa.flash_attention(q, k, v, 2, block_q=128, block_k=128,
+                               bwd_block_q=128, bwd_block_k=128, min_seq_len=1)
+        return jnp.sum(jnp.cos(o))
+
+    fa.FUSED_BWD = True
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    try:
+        fa.FUSED_BWD = False
+        g_two = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.FUSED_BWD = True
+    for a, b in zip(g_fused, g_two):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
