@@ -171,6 +171,10 @@ SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
               show_default=True,
               help="Write a jax.profiler trace of the first inference batch "
               "to this directory (TensorBoard format).")
+@click.option("--multihost", type=bool, default=False, show_default=True,
+              help="Join the multi-host runtime (jax.distributed.initialize; "
+              "TPU pod slices autodetect the coordinator). Combine with "
+              "--shard-index/--num-shards per host.")
 def main(**kw: Any) -> None:
     run_predict(**kw)
 
@@ -224,6 +228,7 @@ def run_predict(
     ensemble_reduce: str = "median",
     mesh_model: int = 1,
     profile_dir: Path | None = None,
+    multihost: bool = False,
 ) -> None:
     import os
 
@@ -237,6 +242,11 @@ def run_predict(
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
     import jax
+
+    if multihost:
+        from depth_completion_tpu.core.distributed import initialize
+
+        initialize()
 
     from depth_completion_tpu.io import (
         DATASET_DIR_NAME_IMAGE,
