@@ -103,3 +103,25 @@ def test_lcm_timesteps_subsample():
     assert np.all(np.diff(ts) < 0)
     # all timesteps lie on the origin grid k*i - 1, k = 20
     assert np.all((ts + 1) % 20 == 0)
+
+
+def test_leading_and_linspace_spacings():
+    cfg_lead = DDIMConfig(timestep_spacing="leading")
+    ts = make_timesteps(cfg_lead, 50)
+    assert len(ts) == 50 and ts[-1] == 0 + cfg_lead.steps_offset
+    assert np.all(np.diff(ts) < 0)
+    cfg_lin = DDIMConfig(timestep_spacing="linspace")
+    ts = make_timesteps(cfg_lin, 50)
+    assert ts[0] == 999 and ts[-1] == 0
+    with pytest.raises(ValueError):
+        make_timesteps(DDIMConfig(timestep_spacing="bogus"), 10)
+    with pytest.raises(ValueError):
+        make_timesteps(DDIMConfig(), 0)
+
+
+def test_clip_sample_config():
+    sched = make_schedule(DDIMConfig(prediction_type="epsilon", clip_sample=True))
+    x = jnp.full((1, 2, 2, 4), 10.0)
+    eps = jnp.zeros((1, 2, 2, 4))
+    x0 = pred_original(sched, eps, jnp.asarray(500), x)
+    assert float(jnp.max(jnp.abs(x0))) <= 1.0 + 1e-6
