@@ -12,6 +12,13 @@ fp32 softmax statistics, no bias/segment masking; ragged sequence lengths
 are handled by padding to the block size and masking padded KV columns.
 Layout: [BH, S, D] with batch·heads flattened into the leading grid axis.
 
+Extensibility note (SURVEY.md §5 long-context): the q/k/v interface is the
+slot for a ring/blockwise variant — a no-downsample native-resolution mode
+would shard S over the mesh and rotate KV blocks with
+``pltpu.make_async_remote_copy`` between the same online-softmax updates.
+Not a parity requirement; the hook is the ``attention_fn`` argument of
+``apply_unet``.
+
 Backward math (standard flash bwd):
     p  = exp(s − m) / l          (recomputed from the saved row stats m, l)
     dv = pᵀ @ do
