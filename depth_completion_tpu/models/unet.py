@@ -263,8 +263,14 @@ def apply_unet(
             skips.append(h)
         return h, skips
 
-    def run_up_stage(i, stage, h, stage_skips):
-        """``stage_skips`` is newest-first: resnet j consumes stage_skips[j]."""
+    def run_up_stage(i, stage, h, stage_skips, up_target):
+        """``stage_skips`` is newest-first: resnet j consumes stage_skips[j].
+
+        ``up_target``: spatial (H, W) the upsample must produce — the next
+        stage's skip size. Odd down-path sizes (e.g. KITTI's 28-high latent:
+        28→14→7→4) make this differ from plain 2×; diffusers handles the
+        same case via its ``forward_upsample_size`` path.
+        """
         stage_idx = n_stages - 1 - i
         for j, res_p in enumerate(stage["resnets"]):
             h = jnp.concatenate([h, stage_skips[j]], axis=-1)
@@ -274,13 +280,18 @@ def apply_unet(
                     stage["attentions"][j], h, ctx, cfg.num_heads[stage_idx], cfg, attention_fn
                 )
         if "upsampler" in stage:
-            h = upsample_nearest_2x(h)
+            th, tw = up_target
+            if (th, tw) == (h.shape[1] * 2, h.shape[2] * 2):
+                h = upsample_nearest_2x(h)
+            else:
+                h = jax.image.resize(
+                    h, (h.shape[0], th, tw, h.shape[3]), method="nearest"
+                )
             h = conv2d(stage["upsampler"], h)
         return h
 
-    maybe_ckpt = (lambda f: jax.checkpoint(f, static_argnums=(0,))) if remat else (
-        lambda f: f
-    )
+    def maybe_ckpt(f, static=(0,)):
+        return jax.checkpoint(f, static_argnums=static) if remat else f
 
     h = conv2d(params["conv_in"], sample)
     skips = [h]
@@ -300,9 +311,12 @@ def apply_unet(
     for i, stage in enumerate(params["up_blocks"]):
         n_res = len(stage["resnets"])
         stage_skips = tuple(skips.pop() for _ in range(n_res))  # newest-first
+        # upsample target = the next stage's first skip (static shape)
+        up_target = skips[-1].shape[1:3] if skips else None
         h = maybe_ckpt(
-            lambda i_, s_, h_, sk_: run_up_stage(i_, s_, h_, sk_)
-        )(i, stage, h, stage_skips)
+            lambda i_, s_, h_, sk_, t_: run_up_stage(i_, s_, h_, sk_, t_),
+            static=(0, 4),
+        )(i, stage, h, stage_skips, up_target)
 
     h = group_norm(params["conv_norm_out"], h, cfg.norm_groups, cfg.norm_eps)
     h = conv2d(params["conv_out"], silu(h))

@@ -120,3 +120,23 @@ def test_unet_multi_transformer_layers():
     )
     assert out.shape == (1, 16, 16, cfg.out_channels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_odd_latent_geometry():
+    """KITTI-class latent heights (not divisible by 2^stages) must work:
+    the up path upsamples to the skip's size, as diffusers'
+    forward_upsample_size does (e.g. 28 -> 14 -> 7 -> 4 -> 7 -> 14 -> 28)."""
+    cfg = registry.UNetConfig(
+        block_out_channels=(8, 8, 8, 8),
+        num_heads=(1, 1, 1, 1),
+        attention_stages=(False, False, False, False),
+        layers_per_block=1,
+        norm_groups=4,
+    )
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 28, 96, cfg.in_channels))
+    ctx = jnp.zeros((1, 2, cfg.cross_attention_dim))
+    for remat in (False, True):
+        out = apply_unet(params, x, jnp.asarray(10), ctx, cfg, remat=remat)
+        assert out.shape == (1, 28, 96, cfg.out_channels)
+        assert np.isfinite(np.asarray(out)).all()
