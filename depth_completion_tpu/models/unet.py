@@ -39,7 +39,6 @@ from depth_completion_tpu.models.layers import (
     norm_init,
     silu,
     timestep_embedding,
-    upsample_conv_2x,
     upsample_nearest_2x,
 )
 from depth_completion_tpu.models.registry import UNetConfig
@@ -283,13 +282,12 @@ def apply_unet(
         if "upsampler" in stage:
             th, tw = up_target
             if (th, tw) == (h.shape[1] * 2, h.shape[2] * 2):
-                # fused subpixel conv ≡ conv3x3(nearest_2x), 2.25x fewer FLOPs
-                h = upsample_conv_2x(stage["upsampler"], h)
+                h = upsample_nearest_2x(h)
             else:
                 h = jax.image.resize(
                     h, (h.shape[0], th, tw, h.shape[3]), method="nearest"
                 )
-                h = conv2d(stage["upsampler"], h)
+            h = conv2d(stage["upsampler"], h)
         return h
 
     def maybe_ckpt(f, static=(0,)):

@@ -26,7 +26,7 @@ from depth_completion_tpu.models.layers import (
     linear_init,
     norm_init,
     silu,
-    upsample_conv_2x,
+    upsample_nearest_2x,
 )
 from depth_completion_tpu.models.registry import VAEConfig
 
@@ -186,7 +186,7 @@ def decode(params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
         for p in stage["resnets"]:
             h = _resnet(p, h, cfg)
         if "upsampler" in stage:
-            # fused subpixel conv ≡ conv3x3(nearest_2x(h)), 2.25x fewer FLOPs
-            h = upsample_conv_2x(stage["upsampler"], h)
+            h = upsample_nearest_2x(h)
+            h = conv2d(stage["upsampler"], h)
     h = group_norm(dec["conv_norm_out"], h, cfg.norm_groups, cfg.norm_eps)
     return conv2d(dec["conv_out"], silu(h))
