@@ -103,6 +103,21 @@ class DepthCompletionPipeline:
 
         if pred_latents_prev is not None:
             pred_latents_prev = jnp.asarray(pred_latents_prev)
+            from depth_completion_tpu.ops.resize import latent_size
+
+            eh, ew = latent_size(
+                (int(images.shape[1]), int(images.shape[2])),
+                cfg.resolution,
+                self.bundle.vae.downsample_factor,
+            )
+            expected = (images.shape[0], eh, ew, 4)
+            if tuple(pred_latents_prev.shape) != expected:
+                # reference marigold_dc.py:598-603 (with the corrected true
+                # latent geometry, see ops/resize.py:latent_size)
+                raise ValueError(
+                    f"Shape of pred_latents_prev must be {expected}, but got "
+                    f"{tuple(pred_latents_prev.shape)}"
+                )
 
         if ensemble_size > 1:
             if pred_latents_prev is not None:

@@ -182,3 +182,13 @@ def test_golden_regression(pipe, inputs):
     assert abs(d.std() - 1.799544) < 0.05, d.std()
     assert abs(latents.mean() - (-0.043031)) < 0.02, latents.mean()
     assert abs(latents.std() - 0.744239) < 0.02, latents.std()
+
+
+def test_prev_latent_shape_validation(pipe, inputs):
+    images, sparse = inputs
+    with pytest.raises(ValueError, match="pred_latents_prev"):
+        pipe(
+            images, sparse,
+            pred_latents_prev=np.zeros((1, 4, 4, 4), np.float32),
+            **COMMON,
+        )
