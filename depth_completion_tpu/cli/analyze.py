@@ -43,7 +43,9 @@ from depth_completion_tpu.logger import LOG_LEVELS, logger
 @click.option("-nt", "--num-threads", type=click.IntRange(min=1), default=8,
               show_default=True, help="IO threads.")
 @click.option("--accel", type=bool, default=True, show_default=True,
-              help="Accelerator toggle (interface parity with the reference's --cuda).")
+              help="Compute metrics on the accelerator via one jitted program "
+              "per batch (the reference's --cuda analogue); falls back to "
+              "host numpy when no device is available.")
 @click.option("--gt-dir", type=str, default=None, show_default=True,
               help="Ground-truth subdirectory name inside each dataset dir "
               "(e.g. 'groundtruth' for KITTI-DC). Default: self-consistency "
@@ -96,6 +98,7 @@ def main(
             num_threads=num_threads,
             gt_dir=gt_dir,
             gt_format=gt_format,
+            accel=accel,
             progress=progress,
         )
     except FileNotFoundError as e:

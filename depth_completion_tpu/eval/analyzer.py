@@ -41,6 +41,43 @@ METRICS = ("mae", "rmse")
 _METRIC_FNS = {"mae": np_mae, "rmse": np_rmse}
 
 
+def _make_accel_scorer(bin_ranges, min_depth, max_depth):
+    """One jitted call per batch: overall + per-bin masked MAE/RMSE/counts.
+
+    The accelerated twin of the host loop (the reference's --cuda path,
+    analyze.py:249-290): everything for a batch — clamping, bin masks, both
+    metrics — in a single compiled program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from depth_completion_tpu.ops.stats import masked_mae, masked_rmse
+
+    lowers = jnp.asarray([lo for lo, _ in bin_ranges], jnp.float32)
+    uppers = jnp.asarray([hi for _, hi in bin_ranges], jnp.float32)
+
+    @jax.jit
+    def score(denses, sparses):
+        mask = sparses > 0
+        s = jnp.clip(sparses, min_depth, max_depth)
+        d = jnp.clip(denses, min_depth, max_depth)
+
+        def one(m):
+            return jnp.stack(
+                [masked_mae(d, s, m), masked_rmse(d, s, m), jnp.sum(m)]
+            )
+
+        overall = one(mask)
+        bin_masks = (
+            mask[None] & (s[None] >= lowers.reshape(-1, 1, 1, 1, 1))
+            & (s[None] <= uppers.reshape(-1, 1, 1, 1, 1))
+        )
+        binned = jax.vmap(one)(bin_masks)  # [n_bins, 3]
+        return overall, binned
+
+    return score
+
+
 def _pair_paths(sparse_dir: Path, dense_dir: Path) -> tuple[list[Path], list[Path]]:
     sparse_paths: list[Path] = []
     dense_paths: list[Path] = []
@@ -98,6 +135,7 @@ def analyze_datasets(
     num_threads: int = 8,
     gt_dir: str | None = None,
     gt_format: str = "png16",
+    accel: bool = False,
     progress: Any | None = None,
 ) -> dict[str, Any]:
     """Run the evaluation; writes results.json files, returns the global dict."""
@@ -108,6 +146,15 @@ def analyze_datasets(
     logger.info(f"Found {len(dataset_dirs):,} datasets")
 
     bin_ranges = calc_bins(min_depth, max_depth, bin_size)
+    accel_scorer = None
+    if accel:
+        try:
+            accel_scorer = _make_accel_scorer(bin_ranges, min_depth, max_depth)
+            import jax
+
+            logger.info(f"Accelerated metrics on {jax.default_backend()}")
+        except Exception as e:  # pragma: no cover - env dependent
+            logger.warning(f"Accelerated metrics unavailable ({e}); using host path")
     g_overall: dict[str, list[float]] = {m: [] for m in metrics}
     g_binned: list[dict[str, list[float]]] = [
         {m: [] for m in metrics} for _ in bin_ranges
@@ -179,6 +226,32 @@ def analyze_datasets(
                 )  # [B,H,W,1]
             denses = np.stack(load_arrays(dp, num_threads=num_threads))
             denses = denses.reshape(sparses.shape)
+
+            if accel_scorer is not None:
+                overall, binned = accel_scorer(denses, sparses)
+                overall = np.asarray(overall)
+                binned = np.asarray(binned)
+                scores_by_name = {"mae": overall[0], "rmse": overall[1]}
+                for m in metrics:
+                    d_overall[m].append(float(scores_by_name[m]))
+                    g_overall[m].append(float(scores_by_name[m]))
+                d_pts += int(overall[2])
+                g_pts += int(overall[2])
+                if calc_binned_scores:
+                    for b in range(len(bin_ranges)):
+                        n_bin = int(binned[b, 2])
+                        if n_bin == 0:
+                            continue
+                        bin_scores = {"mae": binned[b, 0], "rmse": binned[b, 1]}
+                        for m in metrics:
+                            d_binned[b][m].append(float(bin_scores[m]))
+                            g_binned[b][m].append(float(bin_scores[m]))
+                        d_pts_binned[b] += n_bin
+                        g_pts_binned[b] += n_bin
+                if progress is not None:
+                    progress.update(len(sp))
+                continue
+
             mask = sparses > 0
             n_pts = int(mask.sum())
             sparses = np.clip(sparses, min_depth, max_depth)

@@ -107,3 +107,22 @@ def test_binned_results_structure(tmp_path):
     assert len(per_ds["binned"]) == 4  # 120 / 30
     pct = sum(b["percentage"] for b in per_ds["binned"])
     assert pct == pytest.approx(100.0, abs=1.0)
+
+
+def test_accel_matches_host_path(tmp_path):
+    """Device-jitted metrics must agree with the host numpy path."""
+    data = tmp_path / "data"
+    out_a = tmp_path / "out_a"
+    out_b = tmp_path / "out_b"
+    ds, sparses = _make_dataset(data, n_frames=2)
+    for out in (out_a, out_b):  # identical noisy predictions in both trees
+        for i, s in enumerate(sparses):
+            noise = np.random.default_rng(100 + i).standard_normal(s.shape)
+            noisy = s + noise.astype(np.float32)
+            save_array(noisy[..., np.newaxis], out / "scene" / "dense" / f"{i:03d}.npy")
+    host = analyze_datasets(data, out_a, accel=False)
+    accel = analyze_datasets(data, out_b, accel=True)
+    assert host["overall"]["mae"] == pytest.approx(accel["overall"]["mae"], rel=1e-4)
+    assert host["overall"]["rmse"] == pytest.approx(accel["overall"]["rmse"], rel=1e-4)
+    for hb, ab in zip(host["binned"], accel["binned"]):
+        assert hb["percentage"] == pytest.approx(ab["percentage"], abs=0.1)
