@@ -50,3 +50,17 @@ def test_data_sharding_helpers():
     assert all(p is None for p in (r.spec or [None]))
     x = jax.device_put(np.zeros((8, 2, 2, 1), np.float32), s)
     assert len(x.sharding.device_set) == 8
+
+
+def test_logger_file_sink(tmp_path):
+    from depth_completion_tpu.logger import logger
+
+    log_path = tmp_path / "run.log"
+    logger.configure(level="DEBUG", log_path=log_path)
+    logger.info("hello-info")
+    logger.success("hello-success")
+    logger.trace("hello-trace")  # below DEBUG, filtered
+    text = log_path.read_text()
+    assert "hello-info" in text and "hello-success" in text
+    assert "hello-trace" not in text
+    logger.configure()  # restore defaults for other tests
