@@ -330,7 +330,9 @@ def run_predict(
     from depth_completion_tpu.models.bundle import load_bundle, make_random_bundle
     from depth_completion_tpu.pipeline import DepthCompletionPipeline
 
-    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    from depth_completion_tpu.core import resolve_policy
+
+    dtype = resolve_policy(precision).param_dtype
     vae_kind = "tiny" if vae == "light" else "kl"
     if model == "random":
         logger.warning("Running with RANDOM weights (smoke-test mode)")
