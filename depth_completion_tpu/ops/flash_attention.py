@@ -5,7 +5,9 @@ resolution 768) is the FLOP- and bandwidth-dominant op of the sampling loop;
 XLA materializes the [S,S] score matrix in HBM (~190 MB fp32 per head at
 S=6912) in both directions. This kernel tiles the online-softmax computation
 (flash attention) so scores only ever exist as a [block_q, block_k] VMEM
-tile, for the forward pass and both backward kernels (dq and dk/dv).
+tile, for the forward pass and the backward pass (default: a fused one-pass
+kernel accumulating dk/dv in scratch while emitting per-KV-block dq
+partials; a classic two-kernel dq/dkv backward remains behind FUSED_BWD).
 
 Scope (what the UNet needs, nothing more): non-causal self/cross attention,
 fp32 softmax statistics, no bias/segment masking; ragged sequence lengths
