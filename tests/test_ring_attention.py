@@ -1,0 +1,59 @@
+"""Ring attention over the 8-device virtual mesh ≡ single-device attention."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from depth_completion_tpu.core.mesh import AXIS_DATA, AXIS_MODEL
+from depth_completion_tpu.models.layers import attention
+from depth_completion_tpu.ops.ring_attention import ring_attention
+
+
+def _mesh(p=8):
+    devs = np.asarray(jax.devices("cpu")[:p]).reshape(p, 1)
+    return Mesh(devs, (AXIS_DATA, AXIS_MODEL))
+
+
+def _qkv(n=2, s=256, c=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.normal(size=(n, s, c)).astype(np.float32)) for _ in range(3)
+    )
+
+
+def test_ring_matches_full_attention():
+    mesh = _mesh()
+    q, k, v = _qkv()
+    out = ring_attention(q, k, v, num_heads=4, mesh=mesh)
+    ref = attention(q, k, v, num_heads=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_ring_grad_matches_full_attention():
+    """Differentiable through the ring (guidance-gradient compatible)."""
+    mesh = _mesh(4)
+    q, k, v = _qkv(n=1, s=64, c=32, seed=1)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(jnp.sin(ring_attention(q, k, v, 2, mesh)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attention(q, k, v, 2)))
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"d{name}",
+        )
+
+
+def test_ring_rejects_ragged_sequence():
+    import pytest
+
+    mesh = _mesh()
+    q, k, v = _qkv(s=100)  # not divisible by 8
+    with pytest.raises(ValueError):
+        ring_attention(q, k, v, 4, mesh)
