@@ -132,8 +132,9 @@ class DepthCompletionPipeline:
                 ensemble_size=ensemble_size,
                 reduce=ensemble_reduce,
             )
-            # return the median members' latents is ill-defined; return the
-            # reduced denses plus per-member denses for diagnostics
+            # a single "final latent" is ill-defined across members, so the
+            # second return is the per-member denses (diagnostics / custom
+            # reduces) instead of latents
             return denses, members
 
         return _jitted_sample(
