@@ -104,3 +104,23 @@ def test_predict_temporal_resume(dataset, tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         predict_main(base + ["--resume", "true"], standalone_mode=True)
     assert (out / "scene" / "latent_state.npz").exists()
+
+
+def test_predict_ensemble(dataset, tmp_path, monkeypatch):
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.predict import main as predict_main
+
+    out = tmp_path / "out_ens"
+    args = [
+        str(dataset), str(out),
+        "--model", "random", "--steps", "2", "--res", "64",
+        "--precision", "fp32", "--compress", "npy",
+        "--ensemble", "2", "--vis", "false",
+    ]
+    with pytest.raises(SystemExit) as e:
+        predict_main(args, standalone_mode=True)
+    assert e.value.code in (0, None)
+    denses = sorted((out / "scene" / "dense").glob("*.npy"))
+    assert len(denses) == 3
+    d = np.load(denses[0])
+    assert d.shape == (48, 64, 1) and np.isfinite(d).all()
