@@ -615,7 +615,9 @@ def run_predict(
                 # passes them to the pipeline (predict.py:660-694)
             time_io += time.time() - stime
 
-            if mesh is not None:
+            if mesh is not None and ensemble == 1:
+                # plain batches shard at the input; ensemble runs shard the
+                # member-expanded rows inside the jitted program instead
                 from depth_completion_tpu.parallel.sharding import shard_batch
 
                 batch_imgs, batch_sparses = shard_batch(
@@ -653,6 +655,7 @@ def run_predict(
                 scheduler=scheduler,
                 ensemble_size=ensemble,
                 ensemble_reduce=ensemble_reduce,
+                ensemble_mesh=mesh,
             )
             denses_np = np.asarray(denses, dtype=np.float32)[:n_real]
             if profiling:

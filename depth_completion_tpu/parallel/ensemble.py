@@ -30,13 +30,14 @@ def ensemble_sample(
     cfg: SamplerConfig,
     ensemble_size: int,
     reduce: str = "median",
+    mesh=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(denses [N,H,W,1], member denses [N,E,H,W,1]) with E-member ensembling.
 
-    Jit-compatible as a whole; shard the [N·E] batch over the data axis by
-    device_put-ing ``images``/``sparses`` repeated rows (see
-    parallel.sharding.shard_batch) or simply let GSPMD propagate from input
-    shardings.
+    Jit-compatible as a whole. The [N·E] member-expanded batch — not the
+    N-frame input — is what shards over the data axis; pass ``mesh`` (static)
+    to constrain the expanded rows with NamedSharding so E members of a
+    single frame still spread across devices.
     """
     if ensemble_size < 1:
         raise ValueError(f"ensemble_size must be >= 1, got {ensemble_size}")
@@ -63,6 +64,19 @@ def ensemble_sample(
 
     images_rep = jnp.repeat(images, e, axis=0)
     sparses_rep = jnp.repeat(sparses, e, axis=0)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from depth_completion_tpu.core.mesh import AXIS_DATA
+
+        def row_sharded(x):
+            spec = PartitionSpec(*([AXIS_DATA] + [None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        images_rep = row_sharded(images_rep)
+        sparses_rep = row_sharded(sparses_rep)
+        init_noise = row_sharded(init_noise)
 
     denses_flat, latents_flat = guided_sample(
         bundle, images_rep, sparses_rep, cfg, init_noise=init_noise

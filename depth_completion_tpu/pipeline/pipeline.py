@@ -25,14 +25,16 @@ from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
 _jitted_sample = jax.jit(guided_sample, static_argnames=("cfg",))
 
 
-def _ensemble(bundle, images, sparses, cfg, ensemble_size, reduce):
+def _ensemble(bundle, images, sparses, cfg, ensemble_size, reduce, mesh):
     from depth_completion_tpu.parallel.ensemble import ensemble_sample
 
-    return ensemble_sample(bundle, images, sparses, cfg, ensemble_size, reduce)
+    return ensemble_sample(
+        bundle, images, sparses, cfg, ensemble_size, reduce, mesh=mesh
+    )
 
 
 _jitted_ensemble = jax.jit(
-    _ensemble, static_argnames=("cfg", "ensemble_size", "reduce")
+    _ensemble, static_argnames=("cfg", "ensemble_size", "reduce", "mesh")
 )
 
 
@@ -92,6 +94,7 @@ class DepthCompletionPipeline:
             config_overrides["lr_latent"], config_overrides["lr_scaling"] = lr
         ensemble_size = int(config_overrides.pop("ensemble_size", 1))
         ensemble_reduce = config_overrides.pop("ensemble_reduce", "median")
+        ensemble_mesh = config_overrides.pop("ensemble_mesh", None)
         # schedule from the checkpoint unless explicitly overridden
         if "ddim" not in config_overrides and self.bundle.ddim_config is not None:
             config_overrides["ddim"] = self.bundle.ddim_config
@@ -131,6 +134,7 @@ class DepthCompletionPipeline:
                 cfg=cfg,
                 ensemble_size=ensemble_size,
                 reduce=ensemble_reduce,
+                mesh=ensemble_mesh,
             )
             # a single "final latent" is ill-defined across members, so the
             # second return is the per-member denses (diagnostics / custom
