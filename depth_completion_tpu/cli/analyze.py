@@ -1,9 +1,10 @@
 """Evaluation CLI — the reference ``analyze.py`` equivalent.
 
 Same flag surface and defaults (reference analyze.py:20-109). Deviation: the
-reference's ``--cuda`` accelerator toggle is ``--accel`` here (metrics run on
-host numpy by default; the flag is accepted for interface parity and controls
-nothing beyond logging, since eval is IO-bound).
+reference's ``--cuda`` accelerator toggle is ``--accel`` here. By default
+metrics run on host numpy; ``--accel`` selects the jitted device scorer
+(`eval.analyzer`: one compiled program per batch computing overall + binned
+masked MAE/RMSE), equivalence-tested against the host path.
 """
 
 from __future__ import annotations

@@ -230,55 +230,3 @@ def upsample_nearest_2x(x):
     x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
     return x.reshape(n, h * 2, w * 2, c)
 
-
-def upsample_conv_2x(params, x):
-    """Fused ``conv3×3(nearest_2x(x))`` computed in the low-resolution domain.
-
-    Subpixel decomposition: each output parity (di, dj) ∈ {0,1}² sees at most
-    a 2×2 window of the low-res input, with an effective kernel formed by
-    summing the 3×3 taps that alias onto the same source pixel. 16 taps at
-    low resolution replace 36 taps at high resolution (2.25× fewer FLOPs and
-    no upsampled intermediate in HBM). Exactly equivalent to
-    ``conv2d(params, upsample_nearest_2x(x), padding=1)`` including the
-    zero-padding boundary behavior. Used by the VAE decoders and the UNet
-    up path (even-target upsamples only).
-    """
-    k = params["kernel"].astype(x.dtype)  # [3, 3, cin, cout]
-    # row taps: parity 0 sees rows (i-1, i) with weights (K0, K1+K2);
-    #           parity 1 sees rows (i, i+1) with weights (K0+K1, K2)
-    rows = {
-        0: jnp.stack([k[0], k[1] + k[2]], axis=0),  # [2, 3, cin, cout]
-        1: jnp.stack([k[0] + k[1], k[2]], axis=0),
-    }
-    outs = {}
-    for di in (0, 1):
-        e_rows = rows[di]
-        cols = {
-            0: jnp.stack([e_rows[:, 0], e_rows[:, 1] + e_rows[:, 2]], axis=1),
-            1: jnp.stack([e_rows[:, 0] + e_rows[:, 1], e_rows[:, 2]], axis=1),
-        }
-        for dj in (0, 1):
-            pad = (
-                ((1, 0) if di == 0 else (0, 1)),
-                ((1, 0) if dj == 0 else (0, 1)),
-            )
-            outs[(di, dj)] = jax.lax.conv_general_dilated(
-                x,
-                cols[dj],  # [2, 2, cin, cout]
-                window_strides=(1, 1),
-                padding=pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-    n, h, w, _ = x.shape
-    cout = k.shape[-1]
-    out = jnp.stack(
-        [
-            jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=3),
-            jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=3),
-        ],
-        axis=2,
-    )  # [n, h, 2, w, 2, cout]
-    out = out.reshape(n, h * 2, w * 2, cout)
-    if "bias" in params:
-        out = out + params["bias"].astype(x.dtype)
-    return out

@@ -46,13 +46,15 @@ def _ring_body(q, k, v, num_heads, axis_name):
     sm_scale = 1.0 / math.sqrt(hd)
     p = jax.lax.axis_size(axis_name)
 
-    # pvary: the accumulators become device-varying once they mix with the
-    # sharded operands; mark the initial values so scan's carry types match.
-    m0 = jax.lax.pvary(
-        jnp.full((n, num_heads, sq, 1), -jnp.inf, jnp.float32), axis_name
-    )
-    l0 = jax.lax.pvary(jnp.zeros((n, num_heads, sq, 1), jnp.float32), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros((n, num_heads, sq, hd), jnp.float32), axis_name)
+    # pcast-to-varying: the accumulators become device-varying once they mix
+    # with the sharded operands; mark the initial values so scan's carry
+    # types match.
+    def _vary(x):
+        return jax.lax.pcast(x, axis_name, to="varying")
+
+    m0 = _vary(jnp.full((n, num_heads, sq, 1), -jnp.inf, jnp.float32))
+    l0 = _vary(jnp.zeros((n, num_heads, sq, 1), jnp.float32))
+    acc0 = _vary(jnp.zeros((n, num_heads, sq, hd), jnp.float32))
 
     def step(carry, _):
         m, l_sum, acc, k_blk, v_blk = carry

@@ -83,6 +83,19 @@ class DepthCompletionPipeline:
                 f"batch and spatial dims, got {images.shape} / {sparses.shape}"
             )
 
+        # Empty-sparse-frame contract (reference utils.py:132-136): a frame
+        # with zero valid sparse points would flow ±inf through range
+        # estimation; the reference's masked_minmax raises a clear ValueError.
+        # One cheap host-side reduction per batch, outside the jitted program.
+        rows_valid = np.asarray(jnp.any(sparses > 0, axis=(1, 2, 3)))
+        if not rows_valid.all():
+            raise ValueError(
+                "No valid values found in mask for some positions. Ensure "
+                "that mask has at least one True value along the specified "
+                f"dimensions. (sparse frames {np.flatnonzero(~rows_valid).tolist()} "
+                "have no points > 0)"
+            )
+
         loss_funcs = config_overrides.pop("loss_funcs", None)
         if loss_funcs is not None:
             config_overrides["loss_funcs"] = tuple(loss_funcs)

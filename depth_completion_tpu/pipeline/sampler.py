@@ -247,13 +247,21 @@ def _guidance_loss(
     latents_for_decode: jnp.ndarray,
     affine_params: dict | None,
     pred_latents: jnp.ndarray,
+    clamp: bool = True,
 ) -> jnp.ndarray:
-    """Per-sample guidance losses on a decoded latent → [N]."""
+    """Per-sample guidance losses on a decoded latent → [N].
+
+    ``clamp`` matches the reference's mode split: the per-step branch clips
+    the decoded prediction to [0,1] before the loss (marigold_dc.py:838-840),
+    the per-input branch does NOT (marigold_dc.py:918-928 — clipping would
+    kill gradients at anchors whose prediction sits outside [0,1]).
+    """
     denses = latent_to_affine(
         bundle, latents_for_decode, orig_res, padding, cfg.interp_mode
     )
     denses = _affine_to_metric(denses, dn, affine_params, closed_form)
-    denses = jnp.clip(denses, 0.0, 1.0)
+    if clamp:
+        denses = jnp.clip(denses, 0.0, 1.0)
     denses = renormalize_to_guidance(denses, dn, cfg.projection, cfg.inv)
     return compute_loss(
         denses,
@@ -444,10 +452,12 @@ def guided_sample(
 
             def loss_fn(p):
                 # Per-input mode decodes the latent directly — no Tweedie
-                # preview (reference marigold_dc.py:918-928).
+                # preview, and no [0,1] clamp before the loss (reference
+                # marigold_dc.py:918-928).
                 losses = _guidance_loss(
                     bundle, cfg, dn, images, orig_res, padding, closed_form,
                     p["latents"], p.get("affine"), p["latents"],
+                    clamp=False,
                 )
                 return jnp.sum(losses)
 

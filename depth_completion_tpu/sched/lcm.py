@@ -35,8 +35,14 @@ def make_lcm_timesteps(
     """LCM timestep selection: subsample the distilled ("origin") schedule.
 
     The origin schedule places ``original_inference_steps`` points at
-    ``k*i - 1`` with k = T // original_inference_steps; inference picks every
-    (origin/steps)-th from the end, descending.
+    ``k*i - 1`` with k = T // original_inference_steps (ascending). Inference
+    follows diffusers' LCMScheduler.set_timesteps rule exactly: reverse the
+    origin grid to descending order, then take (approximately) evenly spaced
+    entries at indices ``floor(linspace(0, orig, num_steps, endpoint=False))``
+    — NOT a fixed stride, which differs whenever orig/num_steps is fractional
+    in the accumulated offset (e.g. num_steps=4 on a 50-point grid picks
+    origin indices {49,37,24,12}, a stride-12 slice picks {49,37,25,13}).
+    Matches the scheduler the reference swaps in at predict.py:495-498.
     """
     T = num_train_timesteps
     orig = config.original_inference_steps
@@ -45,9 +51,12 @@ def make_lcm_timesteps(
             f"num_steps ({num_steps}) cannot exceed original_inference_steps ({orig})"
         )
     k = T // orig
-    origin_ts = np.asarray(range(1, orig + 1), dtype=np.int64) * k - 1  # ascending
-    skip = orig // num_steps
-    ts = origin_ts[::-skip][:num_steps]  # descending from the last origin step
+    # Descending origin grid: k*orig - 1, k*(orig-1) - 1, ..., k - 1.
+    origin_desc = np.arange(orig, 0, -1, dtype=np.int64) * k - 1
+    idx = np.floor(np.linspace(0, orig, num=num_steps, endpoint=False)).astype(
+        np.int64
+    )
+    ts = origin_desc[idx]
     return np.ascontiguousarray(ts.astype(np.int32))
 
 

@@ -105,6 +105,27 @@ def test_lcm_timesteps_subsample():
     assert np.all((ts + 1) % 20 == 0)
 
 
+def test_lcm_timesteps_match_diffusers():
+    # Hand-computed diffusers LCMScheduler.set_timesteps vectors
+    # (T=1000, original_inference_steps=50 → k=20; indices are
+    # floor(linspace(0, 50, steps, endpoint=False)) into the descending
+    # origin grid 20*(50-j) - 1).
+    expected = {
+        1: [999],
+        2: [999, 499],
+        4: [999, 759, 499, 259],
+        8: [999, 879, 759, 639, 499, 379, 259, 139],
+        50: list(range(999, 0, -20)),
+    }
+    for steps, want in expected.items():
+        ts = make_lcm_timesteps(1000, steps)
+        np.testing.assert_array_equal(np.asarray(ts), np.asarray(want, np.int32))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_lcm_timesteps(1000, 51)
+
+
 def test_leading_and_linspace_spacings():
     cfg_lead = DDIMConfig(timestep_spacing="leading")
     ts = make_timesteps(cfg_lead, 50)

@@ -145,40 +145,3 @@ def test_small_kv_attention_matches_general():
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
 
-
-def test_upsample_conv_2x_matches_naive():
-    """Subpixel fused path ≡ conv3x3(nearest_2x(x)) incl. zero-pad borders."""
-    from depth_completion_tpu.models.layers import upsample_conv_2x
-
-    rng = np.random.default_rng(9)
-    x = jnp.asarray(rng.normal(size=(2, 5, 7, 6)).astype(np.float32))
-    params = {
-        "kernel": jnp.asarray(rng.normal(size=(3, 3, 6, 4)).astype(np.float32)),
-        "bias": jnp.asarray(rng.normal(size=(4,)).astype(np.float32)),
-    }
-    fused = upsample_conv_2x(params, x)
-    naive = conv2d(params, upsample_nearest_2x(x), padding=1)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive), rtol=1e-4, atol=1e-4)
-
-    # bias-free variant (TAESD up convs)
-    p2 = {"kernel": params["kernel"]}
-    np.testing.assert_allclose(
-        np.asarray(upsample_conv_2x(p2, x)),
-        np.asarray(conv2d(p2, upsample_nearest_2x(x), padding=1)),
-        rtol=1e-4, atol=1e-4,
-    )
-
-
-def test_upsample_conv_2x_grad():
-    from depth_completion_tpu.models.layers import upsample_conv_2x
-    import jax
-
-    rng = np.random.default_rng(10)
-    x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
-    params = {"kernel": jnp.asarray(rng.normal(size=(3, 3, 3, 3)).astype(np.float32))}
-
-    g1 = jax.grad(lambda x: jnp.sum(jnp.sin(upsample_conv_2x(params, x))))(x)
-    g2 = jax.grad(
-        lambda x: jnp.sum(jnp.sin(conv2d(params, upsample_nearest_2x(x), padding=1)))
-    )(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)

@@ -138,6 +138,20 @@ def test_shape_validation(pipe):
         pipe(np.zeros((1, 8, 8, 3)), np.zeros((1, 4, 4, 1)), max_depth=10.0)
 
 
+def test_empty_sparse_frame_raises(pipe, inputs):
+    # Reference utils.py:132-136 contract: a frame with zero valid sparse
+    # points must fail loudly, not flow inf through normalization.
+    images, sparse = inputs
+    empty = np.zeros_like(sparse)
+    with pytest.raises(ValueError, match="No valid values found in mask"):
+        pipe(images, empty, **COMMON)
+    # batch with one good and one empty row names the offending row
+    images2 = np.concatenate([images, images])
+    sparse2 = np.concatenate([sparse, empty])
+    with pytest.raises(ValueError, match=r"frames \[1\]"):
+        pipe(images2, sparse2, **COMMON)
+
+
 def test_config_validation(pipe, inputs):
     images, sparse = inputs
     with pytest.raises(ValueError):
