@@ -124,3 +124,55 @@ def test_predict_ensemble(dataset, tmp_path, monkeypatch):
     assert len(denses) == 3
     d = np.load(denses[0])
     assert d.shape == (48, 64, 1) and np.isfinite(d).all()
+
+
+def test_predict_sharded_workers(dataset, tmp_path):
+    """Two independent worker processes with --shard-index/--num-shards write
+    disjoint, jointly complete outputs to a shared destination — the
+    manifestless multi-host batch pattern (SURVEY.md §5 failure/resume)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    out = tmp_path / "out_sharded"
+    env = dict(
+        os.environ,
+        DCT_RANDOM_MODEL_SIZE="tiny",
+        JAX_PLATFORMS="cpu",
+        # workers run sequentially: worker 1 reuses worker 0's compiled
+        # program via the persistent cache instead of recompiling
+        JAX_COMPILATION_CACHE_DIR=str(tmp_path / "xla_cache"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+    )
+    outputs = []
+    for idx in range(2):
+        args = [
+            sys.executable, "-m", "depth_completion_tpu.cli.predict",
+            str(dataset), str(out),
+            "--model", "random", "--steps", "1", "--res", "48",
+            "--precision", "fp32", "--compress", "npy", "--vis", "false",
+            "--shard-index", str(idx), "--num-shards", "2",
+        ]
+        proc = subprocess.run(
+            args, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            timeout=600,
+        )
+        text = proc.stdout.decode()
+        assert proc.returncode == 0, text
+        outputs.append(text)
+
+    # jointly complete: all 3 frames present exactly once
+    denses = sorted((out / "scene" / "dense").glob("*.npy"))
+    assert [p.name for p in denses] == ["00000.npy", "00001.npy", "00002.npy"]
+    for p in denses:
+        d = np.load(p)
+        assert d.shape == (48, 64, 1) and np.isfinite(d).all()
+    # disjoint: each worker logged its own frame count (2 + 1)
+    counts = sorted(
+        int(m.group(1).replace(",", ""))
+        for text in outputs
+        for m in [re.search(r"Shard \d+/2: ([\d,]+) frames", text)]
+        if m
+    )
+    assert counts == [1, 2], counts
