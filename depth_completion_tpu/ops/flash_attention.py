@@ -449,7 +449,7 @@ def flash_attention(
     num_heads: int,
     block_q: int = 512,
     block_k: int = 1024,
-    bwd_block_q: int = 1024,
+    bwd_block_q: int = 512,
     bwd_block_k: int = 1024,
     min_seq_len: int = 768,
 ) -> jnp.ndarray:

@@ -230,3 +230,63 @@ def test_taesd_matches_torch():
     with torch.no_grad():
         ref_rec = model.decode(torch.from_numpy(lat).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(rec, ref_rec, rtol=5e-3, atol=5e-4)
+
+
+def test_wpacked_conv_exact():
+    """Width-packed conv (TPU lane-filling decode path) ≡ plain conv to
+    float64 machine precision, including zero-pad boundaries and bias."""
+    import jax
+
+    from depth_completion_tpu.models.layers import conv2d
+    from depth_completion_tpu.models.vae_tiny import (
+        _conv2d_wpacked,
+        _upsample_2x_wpacked,
+        _wpack,
+        _wunpack,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 6, 8, 16)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, 16, 16)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(16,)), jnp.float32),
+    }
+    ref = conv2d(p, x)
+    packed = _wunpack(_conv2d_wpacked(p, _wpack(x)))
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # packed upsample ≡ nearest-2x on the unpacked tensor
+    from depth_completion_tpu.models.layers import upsample_nearest_2x
+
+    up_ref = upsample_nearest_2x(x)
+    up_packed = _wunpack(_upsample_2x_wpacked(_wpack(x)))
+    np.testing.assert_array_equal(np.asarray(up_packed), np.asarray(up_ref))
+
+    # gradient flows identically
+    g1 = jax.grad(
+        lambda x: float(0) + jnp.sum(
+            jnp.sin(_wunpack(_conv2d_wpacked(p, _wpack(x))))
+        )
+    )(x)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.sin(conv2d(p, x))))(x)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_taesd_decode_odd_width_fallback():
+    """Odd post-conv_in widths use the plain path and still decode."""
+    import jax
+
+    from depth_completion_tpu.models.registry import TAESD_CONFIG
+    from depth_completion_tpu.models.vae_tiny import decode, init_taesd
+
+    params = init_taesd(jax.random.PRNGKey(0), TAESD_CONFIG, jnp.float32)
+    lat = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 4, 5, 4)), jnp.float32
+    )  # odd latent width
+    out = decode(params, lat, TAESD_CONFIG)
+    assert out.shape == (1, 32, 40, 3)
+    assert np.isfinite(np.asarray(out)).all()
