@@ -4,9 +4,9 @@ Format-compatible with the reference (utils.py:326-367,592-689): `.npz`
 stores under ``arr_0``; `.bl2` is blosc2's frame format; non-fp32/fp64 floats
 (e.g. bfloat16) are converted to float32 on save.
 
-blosc2 is optional in this environment — the `.bl2` path is gated behind the
-import and raises a clear error when the codec is unavailable, while npy/npz
-always work.
+The `.bl2` path prefers the real python-blosc2 when importable and otherwise
+uses the from-scratch frame codec in ``io/bl2.py`` (built on the system
+c-blosc1 library); it raises a clear error only when neither is available.
 """
 
 from __future__ import annotations
@@ -53,11 +53,13 @@ def is_array_path(path: Path) -> bool:
     return path.is_file() and path.suffix in NPARRAY_EXTS
 
 
-def _require_blosc2() -> None:
-    if not HAVE_BLOSC2:
+def _require_bl2() -> None:
+    from depth_completion_tpu.io.bl2 import blosc1_available
+
+    if not HAVE_BLOSC2 and not blosc1_available():
         raise RuntimeError(
-            "blosc2 is not available in this environment; use .npy or .npz "
-            "for compressed arrays"
+            "neither python-blosc2 nor the system libblosc is available; "
+            "use .npy or .npz for compressed arrays"
         )
 
 
@@ -69,8 +71,12 @@ def load_array(path: Path) -> np.ndarray:
             f"Invalid extension: {path.suffix} (must be one of {NPARRAY_EXTS})"
         )
     if path.suffix == ".bl2":
-        _require_blosc2()
-        return blosc2.load_array(str(path))
+        _require_bl2()
+        if HAVE_BLOSC2:
+            return blosc2.load_array(str(path))
+        from depth_completion_tpu.io.bl2 import load_bl2
+
+        return load_bl2(path)
     if path.suffix == ".dcz":
         from depth_completion_tpu.io.dcz import load_dcz
 
@@ -103,8 +109,13 @@ def save_array(x: np.ndarray, path: Path, compress: str | None = None) -> None:
     if compress == "npz":
         np.savez_compressed(path, x)
     elif compress == "bl2":
-        _require_blosc2()
-        blosc2.save_array(x, str(path), mode="w")
+        _require_bl2()
+        if HAVE_BLOSC2:
+            blosc2.save_array(x, str(path), mode="w")
+        else:
+            from depth_completion_tpu.io.bl2 import save_bl2
+
+            save_bl2(x, path)
     elif compress == "dcz":
         from depth_completion_tpu.io.dcz import save_dcz
 

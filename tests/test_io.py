@@ -29,8 +29,8 @@ def test_array_roundtrip_npy_npz(tmp_path):
     np.testing.assert_array_equal(load_array(tmp_path / "a.npz"), x)
 
 
-@pytest.mark.skipif(not HAVE_BLOSC2, reason="blosc2 not installed")
 def test_array_roundtrip_bl2(tmp_path):
+    # served by python-blosc2 when installed, by io/bl2.py otherwise
     x = np.random.default_rng(0).normal(size=(4, 5)).astype(np.float32)
     save_array(x, tmp_path / "a.bl2", compress="bl2")
     np.testing.assert_array_equal(load_array(tmp_path / "a.bl2"), x)
