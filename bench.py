@@ -24,9 +24,7 @@ import time
 
 import numpy as np
 
-# persist compiled programs across runs (the 50-step program takes minutes)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dct_xla_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 REFERENCE_FRAMES_PER_SEC = 0.33  # provisional; see BASELINE.md
 
@@ -34,6 +32,10 @@ REFERENCE_FRAMES_PER_SEC = 0.33  # provisional; see BASELINE.md
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    from depth_completion_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from depth_completion_tpu.models import registry
     from depth_completion_tpu.models.bundle import make_random_bundle

@@ -167,6 +167,13 @@ SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
               help="Tensor-parallel axis size of the device mesh (weights "
               "sharded over attention heads/MLP channels). Remaining devices "
               "form the data axis for frames/ensemble members.")
+@click.option("--native-res", type=bool, default=False, show_default=True,
+              help="EXPERIMENTAL long-context mode: shard the UNet "
+              "self-attention sequence over the mesh data axis (ring "
+              "attention, KV rotating over ICI) instead of sharding the "
+              "batch — each device holds S/P of the keys/values, lifting "
+              "the single-chip memory ceiling on token count. Requires a "
+              ">1-device data axis; incompatible with --ensemble>1.")
 @click.option("--profile-dir", type=click.Path(path_type=Path), default=None,
               show_default=True,
               help="Write a jax.profiler trace of the first inference batch "
@@ -227,21 +234,18 @@ def run_predict(
     ensemble: int = 1,
     ensemble_reduce: str = "median",
     mesh_model: int = 1,
+    native_res: bool = False,
     profile_dir: Path | None = None,
     multihost: bool = False,
 ) -> None:
-    import os
+    import jax
+
+    from depth_completion_tpu.core.compile_cache import enable_compile_cache
 
     # Persist compiled programs across invocations: the fused 50-step
     # sampling program takes minutes to build; the cache makes every run
-    # after the first start instantly (per geometry/config signature).
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        str(Path.home() / ".cache" / "depth_completion_tpu" / "xla"),
-    )
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-
-    import jax
+    # after the first start in seconds (per geometry/config signature).
+    enable_compile_cache()
 
     if multihost:
         from depth_completion_tpu.core.distributed import initialize
@@ -374,9 +378,14 @@ def run_predict(
 
         # The data axis must divide batch_size·ensemble; size it to the gcd
         # so uneven configs still run (on fewer devices) instead of failing.
+        # Native-res mode shards the attention *sequence*, not the batch, so
+        # it takes the full data axis regardless of batch size.
         total_rows = batch_size * ensemble
-        data_axis = math.gcd(total_rows, max(n_devices // mesh_model, 1))
-        if data_axis * mesh_model < n_devices:
+        if native_res:
+            data_axis = max(n_devices // mesh_model, 1)
+        else:
+            data_axis = math.gcd(total_rows, max(n_devices // mesh_model, 1))
+        if not native_res and data_axis * mesh_model < n_devices:
             logger.warning(
                 f"Using {data_axis * mesh_model}/{n_devices} devices — make "
                 f"batch_size*ensemble ({total_rows}) a multiple of "
@@ -388,6 +397,17 @@ def run_predict(
         )
         bundle = shard_bundle(mesh, bundle, tensor_parallel=mesh_model > 1)
         logger.info(f"Mesh: data={data_axis} x model={mesh_model}")
+    if native_res:
+        if ensemble > 1:
+            raise click.UsageError("--native-res is incompatible with --ensemble>1")
+        if mesh is None or mesh.shape["data"] < 2:
+            raise click.UsageError(
+                "--native-res needs a multi-device data axis (ring size >= 2)"
+            )
+        logger.info(
+            f"Native-res mode: self-attention sequence sharded over "
+            f"data={mesh.shape['data']} (ring attention)"
+        )
     pipe = DepthCompletionPipeline(bundle)
     scheduler = "lcm" if model == "lcm" else "ddim"
     logger.info(f"Devices: {jax.devices()}")
@@ -615,9 +635,10 @@ def run_predict(
                 # passes them to the pipeline (predict.py:660-694)
             time_io += time.time() - stime
 
-            if mesh is not None and ensemble == 1:
+            if mesh is not None and ensemble == 1 and not native_res:
                 # plain batches shard at the input; ensemble runs shard the
                 # member-expanded rows inside the jitted program instead
+                # (native-res replicates the batch and shards the sequence)
                 from depth_completion_tpu.parallel.sharding import shard_batch
 
                 batch_imgs, batch_sparses = shard_batch(
@@ -656,6 +677,7 @@ def run_predict(
                 ensemble_size=ensemble,
                 ensemble_reduce=ensemble_reduce,
                 ensemble_mesh=mesh,
+                ring_mesh=mesh if native_res else None,
             )
             denses_np = np.asarray(denses, dtype=np.float32)[:n_real]
             if profiling:

@@ -81,6 +81,33 @@ def _ring_body(q, k, v, num_heads, axis_name):
     return out.transpose(0, 2, 1, 3).reshape(n, sq, c).astype(q.dtype)
 
 
+def ring_attention_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    mesh: Mesh,
+    axis_name: str = AXIS_DATA,
+) -> jnp.ndarray:
+    """In-jit ring attention: usable as a ``models.unet`` attention_fn.
+
+    Traceable inside a larger jitted program — GSPMD inserts the resharding
+    collectives at the shard_map boundary, so the surrounding UNet can stay
+    replicated (or batch-sharded) while the attention sequence is sharded
+    over ``axis_name`` and KV blocks rotate around the ring. Differentiable
+    (the guidance gradient flows through the ppermute transpose).
+    """
+    s = q.shape[1]
+    p = mesh.shape[axis_name]
+    if s % p != 0:
+        raise ValueError(f"sequence {s} not divisible by ring size {p}")
+    spec = PartitionSpec(None, axis_name, None)
+    body = functools.partial(_ring_body, num_heads=num_heads, axis_name=axis_name)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -91,22 +118,17 @@ def ring_attention(
 ) -> jnp.ndarray:
     """Full softmax attention with the sequence sharded over ``axis_name``.
 
+    Host-level entry: places q/k/v sequence-sharded, then runs the ring.
     q/k/v: [N, S, C] with S divisible by the axis size. The result equals
     single-device attention (up to fp32 reduction order) while each device
     only ever holds S/P keys and values.
     """
-    n, s, c = q.shape
-    p = mesh.shape[axis_name]
-    if s % p != 0:
-        raise ValueError(f"sequence {s} not divisible by ring size {p}")
-    spec = PartitionSpec(None, axis_name, None)
-    body = functools.partial(_ring_body, num_heads=num_heads, axis_name=axis_name)
-    fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
-    )
-    sharding = NamedSharding(mesh, spec)
-    return fn(
+    sharding = NamedSharding(mesh, PartitionSpec(None, axis_name, None))
+    return ring_attention_sharded(
         jax.device_put(q, sharding),
         jax.device_put(k, sharding),
         jax.device_put(v, sharding),
+        num_heads,
+        mesh,
+        axis_name,
     )

@@ -30,6 +30,7 @@ documented *intended* behavior.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,14 @@ class SamplerConfig:
     remat_unet: str | bool = "auto"
     # "auto": fused Pallas flash attention on TPU, XLA elsewhere
     flash_attention: str = "auto"  # "auto" | "on" | "off"
+    # Experimental native-resolution mode (SURVEY §5 long-context stretch):
+    # shard the self-attention sequence over this mesh axis and rotate KV
+    # blocks around the ring (ops/ring_attention.py), so each device holds
+    # S/P of the keys/values during attention. Cross-attention (2-token KV)
+    # and sequences not divisible by the ring size fall back to the base
+    # attention. Mesh is hashable → stays a valid static jit key.
+    ring_mesh: Any = None  # jax.sharding.Mesh | None
+    ring_axis: str = "data"
     # Acceleration option (deviation from reference when enabled): stop the
     # guidance gradient at the UNet output, so the anchor loss differentiates
     # only through the Tweedie combination and the VAE decoder — the common
@@ -317,6 +326,21 @@ def guided_sample(
         attention_fn = flash_attention
     else:
         from depth_completion_tpu.models.layers import attention as attention_fn
+
+    if cfg.ring_mesh is not None:
+        # Native-resolution mode: route self-attention (divisible S) through
+        # the sequence-sharded ring; cross-attention keeps the base kernel.
+        from depth_completion_tpu.ops.ring_attention import ring_attention_sharded
+
+        ring_size = cfg.ring_mesh.shape[cfg.ring_axis]
+        base_attention = attention_fn
+
+        def attention_fn(q, k, v, num_heads):  # noqa: F811
+            if q.shape[1] == k.shape[1] and q.shape[1] % ring_size == 0:
+                return ring_attention_sharded(
+                    q, k, v, num_heads, cfg.ring_mesh, cfg.ring_axis
+                )
+            return base_attention(q, k, v, num_heads)
 
     if cfg.remat_unet == "auto":
         # heuristic: batch × latent area beyond ~4 frames at 96×96 →

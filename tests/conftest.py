@@ -26,5 +26,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402  (sitecustomize has already imported and configured it)
 
 jax.config.update("jax_platforms", "cpu")
+# The env vars above only reach children this process spawns (the
+# multiprocess tests); jax in *this* interpreter was imported by
+# sitecustomize before they were set, so mirror them into live config.
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()

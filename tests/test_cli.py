@@ -176,3 +176,34 @@ def test_predict_sharded_workers(dataset, tmp_path):
         if m
     )
     assert counts == [1, 2], counts
+
+
+def test_predict_native_res(dataset, tmp_path, monkeypatch):
+    """--native-res: sequence-sharded ring attention over the 8-device mesh
+    produces outputs matching the plain path; --ensemble>1 is rejected."""
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.predict import main as predict_main
+    from depth_completion_tpu.io import load_array
+
+    base, nres = tmp_path / "base", tmp_path / "nres"
+    common = [
+        str(dataset), "--model", "random", "--steps", "2", "--res", "64",
+        "--precision", "fp32", "--compress", "npy", "--vis", "false",
+    ]
+    for out, extra in ((base, []), (nres, ["--native-res", "true"])):
+        with pytest.raises(SystemExit) as e:
+            predict_main(common[:1] + [str(out)] + common[1:] + extra,
+                         standalone_mode=True)
+        assert e.value.code in (0, None)
+    a = load_array(base / "scene" / "dense" / "00000.npy")
+    b = load_array(nres / "scene" / "dense" / "00000.npy")
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+    with pytest.raises(SystemExit) as e:
+        predict_main(
+            common[:1] + [str(tmp_path / "bad")] + common[1:]
+            + ["--native-res", "true", "--ensemble", "2"],
+            standalone_mode=True,
+        )
+    assert e.value.code not in (0, None)  # UsageError

@@ -57,3 +57,26 @@ def test_ring_rejects_ragged_sequence():
     q, k, v = _qkv(s=100)  # not divisible by 8
     with pytest.raises(ValueError):
         ring_attention(q, k, v, 4, mesh)
+
+def test_ring_inside_jitted_sampler_matches_base():
+    """Native-res mode: the full guided sampler with the self-attention
+    sequence sharded over the ring equals the single-device path."""
+    from depth_completion_tpu.models.bundle import make_random_bundle
+    from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
+
+    bundle = make_random_bundle(seed=0)
+    mesh = _mesh()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((1, 48, 64, 3)), jnp.float32)
+    sp = np.zeros((1, 48, 64, 1), np.float32)
+    sp[0, ::7, ::9, 0] = rng.random((7, 8)).astype(np.float32) * 50
+    sparses = jnp.asarray(sp)
+
+    f = jax.jit(guided_sample, static_argnames=("cfg",))
+    base = SamplerConfig(steps=2, resolution=64, max_depth=120.0)
+    ring = SamplerConfig(steps=2, resolution=64, max_depth=120.0, ring_mesh=mesh)
+    d0, l0 = f(bundle, images, sparses, base)
+    d1, l1 = f(bundle, images, sparses, ring)
+    assert bool(jnp.isfinite(d1).all())
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-3, atol=1e-4)
