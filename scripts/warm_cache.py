@@ -55,12 +55,17 @@ def main() -> None:
         text_config=registry.TINY_TEXT_CONFIG,
         dtype=jnp.bfloat16,
     )
+    # Match the predict CLI's *default* coerced config (norm=const,
+    # loss l1+l2) so a primed volume covers real runs and bench.py —
+    # a different norm/loss set is a different program and cache key.
     cfg = SamplerConfig(
         steps=steps,
         resolution=768,
         train_latents=True,
         train_method="per-step",
         closed_form=False,
+        loss_funcs=("l1", "l2"),
+        norm=os.environ.get("WARM_NORM", "const"),
         max_depth=120.0,
     )
     fn = jax.jit(guided_sample, static_argnames=("cfg",))
