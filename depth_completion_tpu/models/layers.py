@@ -230,3 +230,58 @@ def upsample_nearest_2x(x):
     x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
     return x.reshape(n, h * 2, w * 2, c)
 
+
+def upsample_conv_2x_matmul(params, x):
+    """``conv2d(params, upsample_nearest_2x(x))`` exactly, computed on the
+    ORIGINAL grid as four subpixel 2x2-tap dot_generals.
+
+    Under nearest-2x, output subpixel (di,dj) of upsample-then-3x3-conv only
+    sees a 2x2 source neighborhood with row/col-summed kernel slices
+    (subpixel 0 per axis: offsets (-1,0) with kernel rows (0, 1+2);
+    subpixel 1: offsets (0,+1) with rows (0+1, 2)) — 2.25x fewer MACs.
+    Expressed as dot_general over a 4C contraction so XLA cannot rewrite it
+    back into its slow fused-broadcast conv (PERF.md round 2: that path runs
+    at ~32 TF/s in-graph; barriers and MSA flags were all neutral).
+    """
+    n, h, w, c = x.shape
+    k = params["kernel"].astype(x.dtype)  # [3,3,C,Co]
+    co = k.shape[-1]
+
+    a0 = jnp.stack([k[0], k[1] + k[2]])  # [2,3,C,Co] row taps for di=0
+    a1 = jnp.stack([k[0] + k[1], k[2]])  # [2,3,C,Co] row taps for di=1
+
+    def col_collapse(a, dj):
+        if dj == 0:
+            return jnp.stack([a[:, 0], a[:, 1] + a[:, 2]], axis=1)  # [2,2,C,Co]
+        return jnp.stack([a[:, 0] + a[:, 1], a[:, 2]], axis=1)
+
+    def shift(ri, rj):  # zero-padded shifted view of x
+        pt, pb = max(-ri, 0), max(ri, 0)
+        pl, pr = max(-rj, 0), max(rj, 0)
+        y = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+        return y[:, pb : pb + h, pr : pr + w, :]
+
+    offs = {0: (-1, 0), 1: (0, 1)}
+    outs = []
+    for di in (0, 1):
+        rows = a0 if di == 0 else a1
+        for dj in (0, 1):
+            kk = col_collapse(rows, dj)  # [2,2,C,Co], (a, b, C) flattening
+            xin = jnp.concatenate(
+                [shift(offs[di][a], offs[dj][b]) for a in (0, 1) for b in (0, 1)],
+                axis=-1,
+            )
+            outs.append(
+                jax.lax.dot_general(
+                    xin.reshape(n * h * w, 4 * c),
+                    kk.reshape(4 * c, co),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=x.dtype,
+                ).reshape(n, h, w, co)
+            )
+    o = jnp.stack(outs, axis=3).reshape(n, h, w, 2, 2, co)
+    o = o.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, co)
+    if "bias" in params:
+        o = o + params["bias"].astype(o.dtype)
+    return o
+

@@ -39,7 +39,7 @@ from depth_completion_tpu.models.layers import (
     norm_init,
     silu,
     timestep_embedding,
-    upsample_nearest_2x,
+    upsample_conv_2x_matmul,
 )
 from depth_completion_tpu.models.registry import UNetConfig
 
@@ -282,12 +282,16 @@ def apply_unet(
         if "upsampler" in stage:
             th, tw = up_target
             if (th, tw) == (h.shape[1] * 2, h.shape[2] * 2):
-                h = upsample_nearest_2x(h)
+                # subpixel matmul formulation: exactly upsample+conv3x3 but
+                # 2.25x fewer MACs and no fused-broadcast conv slow path
+                # (PERF.md round 2); measured faster in- and out-of-graph.
+                h = upsample_conv_2x_matmul(stage["upsampler"], h)
             else:
+                # odd-size targets (diffusers forward_upsample_size case)
                 h = jax.image.resize(
                     h, (h.shape[0], th, tw, h.shape[3]), method="nearest"
                 )
-            h = conv2d(stage["upsampler"], h)
+                h = conv2d(stage["upsampler"], h)
         return h
 
     def maybe_ckpt(f, static=(0,)):

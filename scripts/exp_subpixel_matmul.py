@@ -80,7 +80,18 @@ def upsample_conv_matmul(params, x):
 def main() -> None:
     rng = np.random.default_rng(0)
 
-    # exactness, float64-grade, on CPU values
+    # exactness (force true-fp32 multiplies — TPU matmuls default to bf16)
+    with jax.default_matmul_precision("float32"):
+        _exactness(rng)
+
+    if jax.default_backend() != "tpu":
+        print("not on TPU; skipping timing")
+        return
+
+    _timing(rng)
+
+
+def _exactness(rng) -> None:
     for h, w, c, co in [(5, 7, 8, 16), (36, 48, 64, 32)]:
         x = jnp.asarray(rng.normal(size=(1, h, w, c)), jnp.float32)
         params = {
@@ -94,10 +105,8 @@ def main() -> None:
         print(f"exactness {h}x{w} {c}->{co}: max err {err:.3e} (scale {scale:.1f})")
         assert err / scale < 1e-5, "not equivalent"
 
-    if jax.default_backend() != "tpu":
-        print("not on TPU; skipping timing")
-        return
 
+def _timing(rng) -> None:
     # standalone timing at the real up-path geometries (bf16)
     for h, w, c in [(18, 24, 1280), (36, 48, 1280), (36, 48, 640), (72, 96, 640)]:
         x = jnp.asarray(rng.normal(size=(1, h, w, c)), jnp.bfloat16)

@@ -145,3 +145,36 @@ def test_small_kv_attention_matches_general():
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
 
+
+
+def test_upsample_conv_2x_matmul_exact():
+    """Subpixel matmul formulation == upsample_nearest_2x + 3x3 conv,
+    including zero-pad edges, odd sizes, and bias."""
+    from depth_completion_tpu.models.layers import (
+        conv2d,
+        upsample_conv_2x_matmul,
+        upsample_nearest_2x,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, c, co in [(1, 1, 4, 4), (5, 7, 8, 16), (9, 12, 32, 16)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+        params = {
+            "kernel": jnp.asarray(rng.normal(size=(3, 3, c, co)), jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=(co,)), jnp.float32),
+        }
+        ref = conv2d(params, upsample_nearest_2x(x))
+        got = upsample_conv_2x_matmul(params, x)
+        assert got.shape == (2, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4,
+            err_msg=f"{h}x{w} {c}->{co}",
+        )
+    # no-bias variant
+    p = {"kernel": jnp.asarray(rng.normal(size=(3, 3, 8, 8)), jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(upsample_conv_2x_matmul(p, x)),
+        np.asarray(conv2d(p, upsample_nearest_2x(x))),
+        rtol=1e-5, atol=1e-5,
+    )
