@@ -42,6 +42,18 @@ class VAE:
             return vae_kl.decode(self.params, latents, self.config)
         return vae_tiny.decode(self.params, latents, self.config)
 
+    def decode_depth(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """Marigold decode head: latent → [0,1] depth [N,H,W,1].
+
+        Equals ``(clip(mean_rgb(decode(z)), -1, 1) + 1) / 2``; the tiny VAE
+        fuses the channel mean into ``conv_out`` (see vae_tiny.decode_depth).
+        """
+        if self.kind == "tiny":
+            return vae_tiny.decode_depth(self.params, latents, self.config)
+        rgb = self.decode(latents)
+        depth = jnp.clip(jnp.mean(rgb, axis=-1, keepdims=True), -1.0, 1.0)
+        return (depth + 1.0) / 2.0
+
     @property
     def downsample_factor(self) -> int:
         """Spatial downsampling of encode (8 for SD-class configs)."""

@@ -16,11 +16,14 @@ TAESD consumes/produces SD-scaled latents directly (scaling_factor 1.0).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from depth_completion_tpu.models.layers import conv2d, conv_init
 from depth_completion_tpu.models.registry import TaesdConfig
+from depth_completion_tpu.ops import conv3x3
 
 
 def _block_init(key, c, dtype):
@@ -123,23 +126,42 @@ def _wpack_kernel(k):
     return jnp.stack([kp0, kp1, kp2], axis=1)  # [3,3,2c,2c]
 
 
-def _conv2d_wpacked(params, xp):
+def _kernel_enabled() -> bool:
+    """Use the fused Pallas conv for the packed decode path?
+
+    ``DCT_CONV_KERNEL`` ∈ {auto (default), on, off}; "auto" enables it on the
+    TPU backend (and under the Pallas interpreter test hook).
+    """
+    mode = os.environ.get("DCT_CONV_KERNEL", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return conv3x3.INTERPRET or jax.default_backend() == "tpu"
+
+
+def _conv2d_wpacked(params, xp, relu=False, skip=None):
     kp = _wpack_kernel(params["kernel"]).astype(xp.dtype)
+    b = params.get("bias")
+    if _kernel_enabled() and conv3x3.supported(xp):
+        bp = None if b is None else jnp.concatenate([b, b])
+        return conv3x3.conv3x3_fused(xp, kp, bp, relu=relu, skip=skip)
     y = jax.lax.conv_general_dilated(
         xp, kp, window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    if "bias" in params:
-        b = params["bias"].astype(xp.dtype)
-        y = y + jnp.concatenate([b, b])
-    return y
+    if b is not None:
+        bb = b.astype(xp.dtype)
+        y = y + jnp.concatenate([bb, bb])
+    if skip is not None:
+        y = y + skip
+    return jax.nn.relu(y) if relu else y
 
 
 def _block_wpacked(p, xp):
-    h = jax.nn.relu(_conv2d_wpacked(p["conv1"], xp))
-    h = jax.nn.relu(_conv2d_wpacked(p["conv2"], h))
-    h = _conv2d_wpacked(p["conv3"], h)
-    return jax.nn.relu(h + xp)
+    h = _conv2d_wpacked(p["conv1"], xp, relu=True)
+    h = _conv2d_wpacked(p["conv2"], h, relu=True)
+    return _conv2d_wpacked(p["conv3"], h, relu=True, skip=xp)
 
 
 def _upsample_2x_wpacked(xp):
@@ -149,9 +171,8 @@ def _upsample_2x_wpacked(xp):
     return jnp.repeat(u, 2, axis=1)
 
 
-def decode(params, latents: jnp.ndarray, config: TaesdConfig) -> jnp.ndarray:
-    """Latent → NHWC image in [-1,1]; cheap and differentiable."""
-    del config
+def _decode_backbone(params, latents: jnp.ndarray) -> jnp.ndarray:
+    """Shared decoder trunk: latent → pre-``conv_out`` features [N,H,W,C]."""
     dec = params["decoder"]
     # soft clamp: 3·tanh(x/3)
     h = 3.0 * jnp.tanh(latents / 3.0)
@@ -175,5 +196,46 @@ def decode(params, latents: jnp.ndarray, config: TaesdConfig) -> jnp.ndarray:
             if "up_conv" in stage:
                 h = upsample_nearest_2x(h)
                 h = conv2d(stage["up_conv"], h)
-    out01 = conv2d(dec["conv_out"], h)
+    return h
+
+
+def decode(params, latents: jnp.ndarray, config: TaesdConfig) -> jnp.ndarray:
+    """Latent → NHWC image in [-1,1]; cheap and differentiable."""
+    del config
+    h = _decode_backbone(params, latents)
+    out01 = conv2d(params["decoder"]["conv_out"], h)
     return out01 * 2.0 - 1.0
+
+
+def decode_depth(params, latents: jnp.ndarray, config: TaesdConfig) -> jnp.ndarray:
+    """Latent → [0,1] single-channel depth — the Marigold decode head fused.
+
+    Exactly ``clip(mean_rgb(decode(latents)), -1, 1)·0.5 + 0.5`` (the decode
+    semantics the reference inherits, marigold_dc.py:373-430) with the
+    channel mean folded into ``conv_out``:  mean_c(conv(h,W)+b) =
+    conv(h, mean_c W) + mean_c b, so  depth = clip(conv(h, W̄) + b̄, 0, 1).
+    Skips the [N,H,W,3] materialization and the mean's fwd+bwd on the
+    per-step guidance gradient path.
+    """
+    del config
+    h = _decode_backbone(params, latents)
+    n, hh, ww, c = h.shape
+    co = params["decoder"]["conv_out"]
+    kbar = jnp.mean(co["kernel"].astype(jnp.float32), axis=-1)  # [3,3,C]
+    # A C_out=1 conv runs at vector-unit speed (one MXU output column, and
+    # its transpose is a depth-1 contraction) — traced at 3.8 ms fwd +
+    # 3.2 ms bwd at 576×768. Reformulated: one [NHW,C]×[C,9] tap matmul
+    # (full-depth contraction), taps emitted leading-dim so each [H,W] map
+    # is dense (8,128)-tiled, then nine shifted adds — pure bandwidth.
+    kmat = kbar.reshape(9, c).astype(h.dtype)  # tap-major [9, C]
+    m = jnp.einsum("nhwc,tc->tnhw", h, kmat)  # [9, N, H, W]
+    mp = jnp.pad(m, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    out = jnp.zeros((n, hh, ww), h.dtype)
+    for t in range(9):
+        dh, dw = divmod(t, 3)
+        out = out + jax.lax.slice(
+            mp, (t, 0, dh, dw), (t + 1, n, dh + hh, dw + ww)
+        )[0]
+    if "bias" in co:
+        out = out + jnp.mean(co["bias"].astype(jnp.float32)).astype(h.dtype)
+    return jnp.clip(out, 0.0, 1.0)[..., None]

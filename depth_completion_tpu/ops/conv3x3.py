@@ -1,0 +1,225 @@
+"""Fused 3×3 conv Pallas kernel for the packed TAESD decoder stages.
+
+Why this exists: the guidance gradient flows through the TAESD decoder every
+DDIM step (reference marigold_dc.py:828-840), so decode fwd+bwd is ~17% of
+the step. XLA lowers each 3×3 conv by materializing im2col patch tensors in
+HBM (trace: kOutput "formatting" fusions + relayout copies around every
+conv, PERF.md round-2 tail anatomy), which triples HBM traffic and leaves
+the width-packed decode at ~2.5× its roofline. This kernel streams H-tiles
+through VMEM instead: one DMA per input tile (+1 halo row each side), nine
+shifted [tile, C]×[C, C] MXU dots accumulated in fp32, and the bias / skip /
+ReLU epilogue fused into the same kernel — no patch tensors, no relayout
+copies, no separate elementwise passes over the 56 MB stage-4 feature map.
+
+Layout contract: NHWC with C a multiple of 128 (the width-packed decode
+puts pairs of columns on the 128-lane minor dim, models/vae_tiny.py), W a
+multiple of 8 (sublanes), stride 1, SAME zero padding — exactly the packed
+decoder's conv shape. The custom VJP computes dx with the same kernel on
+flip-transposed taps (input-grad of a stride-1 SAME conv is itself such a
+conv); dk/db/dskip use plain XLA forms that get dead-code-eliminated in the
+sampler, which differentiates w.r.t. latents only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 8
+
+# Test hook: run the kernel in the Pallas interpreter (CPU) instead of Mosaic.
+INTERPRET = False
+
+
+def _pick_block_h(h: int, w: int, c: int, itemsize: int) -> int | None:
+    """Largest divisor of H with an input tile ≤ 768 KB, capped at 64 rows.
+
+    The 16 MB scoped-VMEM budget must hold the double-buffered input/skip/
+    output tiles, the fp32 accumulator, the tap matrix, and shift
+    temporaries — a ≤768 KB input tile keeps the total ≈ 8–10 MB.
+    """
+    best = None
+    for hb in range(1, min(h, 64) + 1):
+        if h % hb == 0 and hb * w * c * itemsize <= 786_432:
+            best = hb
+    return best
+
+
+def supported(x: jnp.ndarray) -> bool:
+    """Whether ``x`` fits this kernel's layout contract."""
+    if x.ndim != 4:
+        return False
+    _, h, w, c = x.shape
+    return (
+        c % _LANES == 0
+        and w % _SUBLANES == 0
+        and _pick_block_h(h, w, c, x.dtype.itemsize) is not None
+    )
+
+
+def _conv_kernel(
+    x_ref, top_ref, bot_ref, k_ref, b_ref, skip_ref, o_ref, *, relu, n_hblocks
+):
+    i = pl.program_id(1)
+    hb, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    co = k_ref.shape[3]
+    x = x_ref[0]
+
+    # Halo rows (clamped index maps fetch row 0 / H-1 at the edges; the real
+    # SAME-conv boundary is zero padding, so mask them off there).
+    top = jnp.where(i == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
+    bot = jnp.where(i == n_hblocks - 1, jnp.zeros_like(bot_ref[0]), bot_ref[0])
+    rows = jnp.concatenate([top, x, bot], axis=0)  # [hb+2, w, c]
+
+    zcol = jnp.zeros((hb, 1, c), x.dtype)
+    acc = jnp.zeros((hb * w, co), jnp.float32)
+    for dh in range(3):
+        xr = jax.lax.slice_in_dim(rows, dh, dh + hb, axis=0)  # [hb, w, c]
+        for dw in range(3):
+            if dw == 0:
+                xs = jnp.concatenate([zcol, xr[:, : w - 1]], axis=1)
+            elif dw == 2:
+                xs = jnp.concatenate([xr[:, 1:], zcol], axis=1)
+            else:
+                xs = xr
+            acc += jax.lax.dot(
+                xs.reshape(hb * w, c),
+                k_ref[dh, dw],
+                preferred_element_type=jnp.float32,
+            )
+    y = acc.reshape(hb, w, co)
+    if b_ref is not None:
+        y = y + b_ref[...].astype(jnp.float32)
+    if skip_ref is not None:
+        y = y + skip_ref[0].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _conv_call(x, kernel, bias, skip, relu):
+    n, h, w, c = x.shape
+    co = kernel.shape[3]
+    hb = _pick_block_h(h, w, c, x.dtype.itemsize)
+    if hb is None:
+        raise ValueError(f"conv3x3_fused: no H tiling for shape {x.shape}")
+    nh = h // hb
+
+    in_specs = [
+        pl.BlockSpec((1, hb, w, c), lambda nn, ii: (nn, ii, 0, 0)),
+        # one-row halos: block_h = 1 ⇒ the index map addresses element rows
+        pl.BlockSpec(
+            (1, 1, w, c), lambda nn, ii: (nn, jnp.maximum(ii * hb - 1, 0), 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, w, c),
+            lambda nn, ii: (nn, jnp.minimum(ii * hb + hb, h - 1), 0, 0),
+        ),
+        pl.BlockSpec((3, 3, c, co), lambda nn, ii: (0, 0, 0, 0)),
+    ]
+    args = [x, x, x, kernel]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((co,), lambda nn, ii: (0,)))
+        args.append(bias)
+    if skip is not None:
+        in_specs.append(pl.BlockSpec((1, hb, w, co), lambda nn, ii: (nn, ii, 0, 0)))
+        args.append(skip)
+
+    def kern(x_ref, top_ref, bot_ref, k_ref, *rest):
+        b_ref = skip_ref = None
+        rest = list(rest)
+        o_ref = rest.pop()
+        if bias is not None:
+            b_ref = rest.pop(0)
+        if skip is not None:
+            skip_ref = rest.pop(0)
+        _conv_kernel(
+            x_ref, top_ref, bot_ref, k_ref, b_ref, skip_ref, o_ref,
+            relu=relu, n_hblocks=nh,
+        )
+
+    return pl.pallas_call(
+        kern,
+        grid=(n, nh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hb, w, co), lambda nn, ii: (nn, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=INTERPRET,
+    )(*args)
+
+
+def _flip_transpose(kernel):
+    """Input-grad taps: kf[dh,dw] = k[2-dh,2-dw]ᵀ."""
+    return jnp.transpose(jnp.flip(kernel, (0, 1)), (0, 1, 3, 2))
+
+
+def _weight_grad(x, dy):
+    """dW[dh,dw,ci,co] = Σ x_pad[n,h+dh-1,w+dw-1,ci]·dy[n,h,w,co] (XLA; DCE'd
+    in the sampler, which never differentiates w.r.t. weights)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h, w = dy.shape[1], dy.shape[2]
+    taps = []
+    for dh in range(3):
+        row = []
+        for dw in range(3):
+            xs = jax.lax.slice(xp, (0, dh, dw, 0), (xp.shape[0], dh + h, dw + w, xp.shape[3]))
+            row.append(
+                jnp.einsum(
+                    "nhwc,nhwd->cd",
+                    xs.astype(jnp.float32),
+                    dy.astype(jnp.float32),
+                )
+            )
+        taps.append(jnp.stack(row))
+    return jnp.stack(taps).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv_fused(relu, x, kernel, bias, skip):
+    return _conv_call(x, kernel, bias, skip, relu)
+
+
+def _conv_fused_fwd(relu, x, kernel, bias, skip):
+    y = _conv_call(x, kernel, bias, skip, relu)
+    return y, (x, kernel, y, bias is not None, skip is not None)
+
+
+def _conv_fused_bwd(relu, res, dy):
+    x, kernel, y, has_bias, has_skip = res
+    if relu:
+        dy = dy * (y > 0).astype(dy.dtype)
+    dx = _conv_call(dy, _flip_transpose(kernel), None, None, False)
+    dk = _weight_grad(x, dy)
+    db = jnp.sum(dy, axis=(0, 1, 2)).astype(dy.dtype) if has_bias else None
+    dskip = dy if has_skip else None
+    return dx, dk, db, dskip
+
+
+_conv_fused.defvjp(_conv_fused_fwd, _conv_fused_bwd)
+
+
+def conv3x3_fused(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    relu: bool = False,
+    skip: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """``maybe_relu(conv3x3_same(x, kernel) + bias + skip)`` as one kernel.
+
+    x [N,H,W,C] (C ≡ 0 mod 128, W ≡ 0 mod 8), kernel [3,3,C,Co] HWIO,
+    bias [Co] or None, skip [N,H,W,Co] or None. Differentiable in
+    x / kernel / bias / skip; dx reuses this kernel, the rest are XLA forms
+    that vanish under DCE when only latents are differentiated.
+    """
+    return _conv_fused(relu, x, kernel.astype(x.dtype),
+                       None if bias is None else bias.astype(x.dtype), skip)

@@ -172,10 +172,7 @@ def decode_prediction(bundle: ModelBundle, latents: jnp.ndarray) -> jnp.ndarray:
     preview is cast down at the decode boundary.
     """
     latents = latents.astype(bundle.text_context.dtype)
-    rgb = bundle.vae.decode(latents)  # [N, PPH, PPW, 3] in [-1, 1]
-    depth = jnp.mean(rgb, axis=-1, keepdims=True)
-    depth = jnp.clip(depth, -1.0, 1.0)
-    return (depth + 1.0) / 2.0
+    return bundle.vae.decode_depth(latents)  # [N, PPH, PPW, 1] in [0, 1]
 
 
 def latent_to_affine(

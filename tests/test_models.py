@@ -82,6 +82,25 @@ def test_taesd_roundtrip_shapes_and_grad():
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
 
 
+def test_taesd_decode_depth_matches_composition():
+    """Fused depth head ≡ decode → mean_rgb → clip → (x+1)/2 (both parities)."""
+    cfg = registry.TINY_TAESD_CONFIG
+    params = vae_tiny.init_taesd(jax.random.PRNGKey(0), cfg)
+    for hw in ((8, 8), (8, 7)):  # even (packed) and odd (plain) widths
+        lat = 2.0 * jax.random.normal(
+            jax.random.PRNGKey(2), (2, *hw, cfg.latent_channels)
+        )
+        rgb = vae_tiny.decode(params, lat, cfg)
+        ref = (jnp.clip(jnp.mean(rgb, axis=-1, keepdims=True), -1, 1) + 1) / 2
+        fused = vae_tiny.decode_depth(params, lat, cfg)
+        assert fused.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-6)
+
+    # gradient flows through the fused head
+    g = jax.grad(lambda z: jnp.sum(vae_tiny.decode_depth(params, z, cfg)))(lat)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_text_encoder_shapes():
     cfg = registry.TINY_TEXT_CONFIG
     params = init_text_encoder(jax.random.PRNGKey(0), cfg)
