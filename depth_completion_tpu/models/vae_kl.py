@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from depth_completion_tpu.models.layers import (
-    attention,
     conv2d,
     conv_init,
     group_norm,
@@ -26,9 +25,11 @@ from depth_completion_tpu.models.layers import (
     linear_init,
     norm_init,
     silu,
-    upsample_nearest_2x,
+    upsample_conv_2x_matmul,
 )
 from depth_completion_tpu.models.registry import VAEConfig
+from depth_completion_tpu.ops import conv3x3
+from depth_completion_tpu.ops.flash_attention import flash_attention
 
 
 def _resnet_init(key, cin, cout, dtype):
@@ -44,11 +45,23 @@ def _resnet_init(key, cin, cout, dtype):
     return p
 
 
+def _conv3(p, x):
+    """Stride-1 SAME 3×3 conv; fused Pallas kernel where the layout allows.
+
+    The KL decoder sits on the per-step guidance gradient path
+    (marigold_dc.py:828-840) under ``--vae full`` — same HBM-traffic
+    rationale as the packed TAESD stages (ops/conv3x3.py docstring).
+    """
+    if conv3x3.enabled() and conv3x3.supported(x):
+        return conv3x3.conv3x3_fused(x, p["kernel"], p.get("bias"))
+    return conv2d(p, x)
+
+
 def _resnet(p, x, cfg: VAEConfig):
     h = group_norm(p["norm1"], x, cfg.norm_groups, cfg.norm_eps)
-    h = conv2d(p["conv1"], silu(h))
+    h = _conv3(p["conv1"], silu(h))
     h = group_norm(p["norm2"], h, cfg.norm_groups, cfg.norm_eps)
-    h = conv2d(p["conv2"], silu(h))
+    h = _conv3(p["conv2"], silu(h))
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
@@ -73,7 +86,11 @@ def _attn(p, x, cfg: VAEConfig):
     q = linear(p["to_q"], hidden)
     k = linear(p["to_k"], hidden)
     v = linear(p["to_v"], hidden)
-    out = attention(q, k, v, num_heads=1)
+    # S = latent H·W (≈6.9k at res 768); XLA would materialize the [S,S]
+    # score matrix (~190 MB fp32) in HBM both directions. flash_attention
+    # handles d=512 (full-depth MXU contractions) and falls back to the XLA
+    # path off-TPU / at short S.
+    out = flash_attention(q, k, v, num_heads=1)
     out = linear(p["to_out"], out).reshape(n, h, w, c)
     return x + out
 
@@ -186,7 +203,9 @@ def decode(params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
         for p in stage["resnets"]:
             h = _resnet(p, h, cfg)
         if "upsampler" in stage:
-            h = upsample_nearest_2x(h)
-            h = conv2d(stage["upsampler"], h)
+            # upsample+conv as four subpixel 2×2-tap dot_generals — exactly
+            # conv2d(upsample_nearest_2x(h)); the fused-broadcast conv XLA
+            # would otherwise emit runs at ~32 TF/s in-graph (PERF.md).
+            h = upsample_conv_2x_matmul(stage["upsampler"], h)
     h = group_norm(dec["conv_norm_out"], h, cfg.norm_groups, cfg.norm_eps)
     return conv2d(dec["conv_out"], silu(h))

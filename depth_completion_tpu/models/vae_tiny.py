@@ -16,8 +16,6 @@ TAESD consumes/produces SD-scaled latents directly (scaling_factor 1.0).
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 
@@ -126,24 +124,10 @@ def _wpack_kernel(k):
     return jnp.stack([kp0, kp1, kp2], axis=1)  # [3,3,2c,2c]
 
 
-def _kernel_enabled() -> bool:
-    """Use the fused Pallas conv for the packed decode path?
-
-    ``DCT_CONV_KERNEL`` ∈ {auto (default), on, off}; "auto" enables it on the
-    TPU backend (and under the Pallas interpreter test hook).
-    """
-    mode = os.environ.get("DCT_CONV_KERNEL", "auto")
-    if mode == "off":
-        return False
-    if mode == "on":
-        return True
-    return conv3x3.INTERPRET or jax.default_backend() == "tpu"
-
-
 def _conv2d_wpacked(params, xp, relu=False, skip=None):
     kp = _wpack_kernel(params["kernel"]).astype(xp.dtype)
     b = params.get("bias")
-    if _kernel_enabled() and conv3x3.supported(xp):
+    if conv3x3.enabled() and conv3x3.supported(xp):
         bp = None if b is None else jnp.concatenate([b, b])
         return conv3x3.conv3x3_fused(xp, kp, bp, relu=relu, skip=skip)
     y = jax.lax.conv_general_dilated(

@@ -50,6 +50,22 @@ def _pick_block_h(h: int, w: int, c: int, itemsize: int) -> int | None:
     return best
 
 
+def enabled() -> bool:
+    """Use the fused kernel for supported convs?
+
+    ``DCT_CONV_KERNEL`` ∈ {auto (default), on, off}; "auto" enables it on the
+    TPU backend (and under the Pallas interpreter test hook).
+    """
+    import os
+
+    mode = os.environ.get("DCT_CONV_KERNEL", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return INTERPRET or jax.default_backend() == "tpu"
+
+
 def supported(x: jnp.ndarray) -> bool:
     """Whether ``x`` fits this kernel's layout contract."""
     if x.ndim != 4:

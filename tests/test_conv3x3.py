@@ -125,6 +125,28 @@ def test_packed_decode_kernel_matches_xla_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref), atol=1e-3, rtol=1e-4)
 
 
+def test_kl_decode_kernel_matches_xla_path(monkeypatch):
+    """KL VAE decode via the Pallas kernel ≡ the XLA conv path (--vae full)."""
+    from depth_completion_tpu.models import registry, vae_kl
+
+    cfg = registry.VAEConfig(block_out_channels=(128, 128), layers_per_block=1)
+    params = jax.jit(lambda k: vae_kl.init_vae(k, cfg, jnp.float32))(
+        jax.random.PRNGKey(0)
+    )
+    lat = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 8, 8, cfg.latent_channels)) * 0.2,
+        jnp.float32,
+    )
+    monkeypatch.setenv("DCT_CONV_KERNEL", "off")
+    ref = vae_kl.decode(params, lat, cfg)
+    gref = jax.grad(lambda z: jnp.sum(vae_kl.decode(params, z, cfg)))(lat)
+    monkeypatch.setenv("DCT_CONV_KERNEL", "on")
+    got = vae_kl.decode(params, lat, cfg)
+    ggot = jax.grad(lambda z: jnp.sum(vae_kl.decode(params, z, cfg)))(lat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref), atol=1e-3, rtol=1e-3)
+
+
 def test_supported_contract():
     assert c3.supported(jnp.zeros((1, 576, 384, 128)))
     assert not c3.supported(jnp.zeros((1, 576, 384, 64)))  # half lanes
