@@ -13,7 +13,9 @@ pipeline's single-GPU throughput at the same config (3 s/frame class; update
 when a measured number lands in BASELINE.md).
 
 Env knobs: BENCH_STEPS (default 50), BENCH_BATCH (default 1),
-BENCH_REPEATS (default 3), BENCH_RES (default 768).
+BENCH_REPEATS (default 3), BENCH_RES (default 768), BENCH_FAST=1
+(fast-guidance mode: skip the UNet backward — NOT the parity config; the
+headline stays full-parity gradients).
 """
 
 from __future__ import annotations
@@ -45,6 +47,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     res = int(os.environ.get("BENCH_RES", "768"))
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
 
     bundle = make_random_bundle(
         seed=0,
@@ -72,6 +75,7 @@ def main() -> None:
         loss_funcs=("l1", "l2"),
         norm="const",
         max_depth=120.0,
+        detach_unet_grad=fast,
     )
     fn = jax.jit(guided_sample, static_argnames=("cfg",))
 
@@ -104,7 +108,8 @@ def main() -> None:
         "value": round(fps_per_chip, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps_per_chip / REFERENCE_FRAMES_PER_SEC, 3),
-        "config": f"{steps}-step DDIM guided, res {res}, batch {batch}, bf16, taesd",
+        "config": f"{steps}-step DDIM guided, res {res}, batch {batch}, bf16, "
+        f"taesd{', fast-guidance' if fast else ''}",
         "backend": jax.default_backend(),
         "devices": n_chips,
         "compile_s": round(compile_and_first, 1),

@@ -174,6 +174,12 @@ SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
               "batch — each device holds S/P of the keys/values, lifting "
               "the single-chip memory ceiling on token count. Requires a "
               ">1-device data axis; incompatible with --ensemble>1.")
+@click.option("--fast-guidance", type=bool, default=False, show_default=True,
+              help="Skip the UNet backward in the guidance gradient (the "
+              "standard 'gradient through x̂₀' approximation: grads flow "
+              "through the VAE decode head only). ~2× faster steps; off by "
+              "default for exact reference-parity gradients "
+              "(marigold_dc.py:875-877 differentiates through the UNet).")
 @click.option("--profile-dir", type=click.Path(path_type=Path), default=None,
               show_default=True,
               help="Write a jax.profiler trace of the first inference batch "
@@ -235,6 +241,7 @@ def run_predict(
     ensemble_reduce: str = "median",
     mesh_model: int = 1,
     native_res: bool = False,
+    fast_guidance: bool = False,
     profile_dir: Path | None = None,
     multihost: bool = False,
 ) -> None:
@@ -678,6 +685,7 @@ def run_predict(
                 ensemble_reduce=ensemble_reduce,
                 ensemble_mesh=mesh,
                 ring_mesh=mesh if native_res else None,
+                detach_unet_grad=fast_guidance,
             )
             denses_np = np.asarray(denses, dtype=np.float32)[:n_real]
             if profiling:

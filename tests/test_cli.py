@@ -207,3 +207,27 @@ def test_predict_native_res(dataset, tmp_path, monkeypatch):
             standalone_mode=True,
         )
     assert e.value.code not in (0, None)  # UsageError
+
+
+def test_predict_fast_guidance(dataset, tmp_path, monkeypatch):
+    """--fast-guidance (detach UNet from the guidance gradient) runs e2e and
+    produces finite depths that differ from the exact-gradient path."""
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.predict import main as predict_main
+    from depth_completion_tpu.io import load_array
+
+    base, fast = tmp_path / "base", tmp_path / "fast"
+    common = [
+        str(dataset), "--model", "random", "--steps", "2", "--res", "64",
+        "--precision", "fp32", "--compress", "npy", "--vis", "false",
+    ]
+    for out, extra in ((base, []), (fast, ["--fast-guidance", "true"])):
+        with pytest.raises(SystemExit) as e:
+            predict_main(common[:1] + [str(out)] + common[1:] + extra,
+                         standalone_mode=True)
+        assert e.value.code in (0, None)
+    a = load_array(base / "scene" / "dense" / "00000.npy")
+    b = load_array(fast / "scene" / "dense" / "00000.npy")
+    assert np.isfinite(b).all()
+    # the approximation changes the guidance gradient, so outputs differ
+    assert float(np.max(np.abs(a - b))) > 0
