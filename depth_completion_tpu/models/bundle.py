@@ -50,9 +50,7 @@ class VAE:
         """
         if self.kind == "tiny":
             return vae_tiny.decode_depth(self.params, latents, self.config)
-        rgb = self.decode(latents)
-        depth = jnp.clip(jnp.mean(rgb, axis=-1, keepdims=True), -1.0, 1.0)
-        return (depth + 1.0) / 2.0
+        return vae_kl.decode_depth(self.params, latents, self.config)
 
     @property
     def downsample_factor(self) -> int:

@@ -223,6 +223,34 @@ def timestep_embedding(
     return emb
 
 
+def conv3x3_mean_tap(params, h):
+    """Channel-mean of ``conv3x3_same(h, kernel) + bias`` as a tap matmul.
+
+    Equals ``mean_co(conv2d(params, h))`` exactly (mean commutes with the
+    conv:  mean_co(conv(h,W)+b) = conv(h, mean_co W) + mean_co b) but avoids
+    emitting a C_out∈{1,3} conv, which does no useful MXU work — one output
+    column runs at vector-unit speed and its transpose is a depth-1
+    contraction (traced at 3.8 ms fwd + 3.2 ms bwd at 576×768, PERF.md).
+    Instead: one [NHW,C]×[C,9] tap matmul (full-depth contraction; taps
+    emitted leading-dim so each [H,W] map stays dense (8,128)-tiled) and
+    nine shifted adds — pure bandwidth. Returns [N,H,W].
+    """
+    n, hh, ww, c = h.shape
+    kbar = jnp.mean(params["kernel"].astype(jnp.float32), axis=-1)  # [3,3,C]
+    kmat = kbar.reshape(9, c).astype(h.dtype)  # tap-major [9, C]
+    m = jnp.einsum("nhwc,tc->tnhw", h, kmat)  # [9, N, H, W]
+    mp = jnp.pad(m, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    out = jnp.zeros((n, hh, ww), h.dtype)
+    for t in range(9):
+        dh, dw = divmod(t, 3)
+        out = out + jax.lax.slice(
+            mp, (t, 0, dh, dw), (t + 1, n, dh + hh, dw + ww)
+        )[0]
+    if "bias" in params:
+        out = out + jnp.mean(params["bias"].astype(jnp.float32)).astype(h.dtype)
+    return out
+
+
 def upsample_nearest_2x(x):
     """NHWC nearest-neighbor 2x upsample."""
     n, h, w, c = x.shape

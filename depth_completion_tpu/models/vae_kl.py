@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from depth_completion_tpu.models.layers import (
     conv2d,
+    conv3x3_mean_tap,
     conv_init,
     group_norm,
     linear,
@@ -188,9 +189,8 @@ def encode(params, images: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
     return mean * cfg.scaling_factor
 
 
-def decode(params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
-    """Scaled latent → NHWC image in [-1,1] (differentiable guidance path)."""
-    cfg = config
+def _decode_backbone(params, latents: jnp.ndarray, cfg: VAEConfig) -> jnp.ndarray:
+    """Shared decoder trunk: latent → pre-``conv_out`` activations [N,H,W,C]."""
     z = latents / cfg.scaling_factor
     z = conv2d(params["post_quant_conv"], z, padding=0)
     dec = params["decoder"]
@@ -208,4 +208,23 @@ def decode(params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
             # would otherwise emit runs at ~32 TF/s in-graph (PERF.md).
             h = upsample_conv_2x_matmul(stage["upsampler"], h)
     h = group_norm(dec["conv_norm_out"], h, cfg.norm_groups, cfg.norm_eps)
-    return conv2d(dec["conv_out"], silu(h))
+    return silu(h)
+
+
+def decode(params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
+    """Scaled latent → NHWC image in [-1,1] (differentiable guidance path)."""
+    h = _decode_backbone(params, latents, config)
+    return conv2d(params["decoder"]["conv_out"], h)
+
+
+def decode_depth(params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
+    """Latent → [0,1] depth [N,H,W,1] — the Marigold decode head fused.
+
+    Exactly ``clip(mean_rgb(decode(latents)), -1, 1)·0.5 + 0.5`` (reference
+    marigold_dc.py:373-430 semantics) with the channel mean folded into
+    ``conv_out`` via the tap matmul (layers.conv3x3_mean_tap): decode emits
+    [-1,1] RGB here, so depth = clip((m̄+1)/2, 0, 1).
+    """
+    h = _decode_backbone(params, latents, config)
+    m = conv3x3_mean_tap(params["decoder"]["conv_out"], h)
+    return jnp.clip(0.5 * m + 0.5, 0.0, 1.0)[..., None]

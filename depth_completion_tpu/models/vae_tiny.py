@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from depth_completion_tpu.models.layers import conv2d, conv_init
+from depth_completion_tpu.models.layers import conv2d, conv3x3_mean_tap, conv_init
 from depth_completion_tpu.models.registry import TaesdConfig
 from depth_completion_tpu.ops import conv3x3
 
@@ -203,23 +203,5 @@ def decode_depth(params, latents: jnp.ndarray, config: TaesdConfig) -> jnp.ndarr
     """
     del config
     h = _decode_backbone(params, latents)
-    n, hh, ww, c = h.shape
-    co = params["decoder"]["conv_out"]
-    kbar = jnp.mean(co["kernel"].astype(jnp.float32), axis=-1)  # [3,3,C]
-    # A C_out=1 conv runs at vector-unit speed (one MXU output column, and
-    # its transpose is a depth-1 contraction) — traced at 3.8 ms fwd +
-    # 3.2 ms bwd at 576×768. Reformulated: one [NHW,C]×[C,9] tap matmul
-    # (full-depth contraction), taps emitted leading-dim so each [H,W] map
-    # is dense (8,128)-tiled, then nine shifted adds — pure bandwidth.
-    kmat = kbar.reshape(9, c).astype(h.dtype)  # tap-major [9, C]
-    m = jnp.einsum("nhwc,tc->tnhw", h, kmat)  # [9, N, H, W]
-    mp = jnp.pad(m, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    out = jnp.zeros((n, hh, ww), h.dtype)
-    for t in range(9):
-        dh, dw = divmod(t, 3)
-        out = out + jax.lax.slice(
-            mp, (t, 0, dh, dw), (t + 1, n, dh + hh, dw + ww)
-        )[0]
-    if "bias" in co:
-        out = out + jnp.mean(co["bias"].astype(jnp.float32)).astype(h.dtype)
+    out = conv3x3_mean_tap(params["decoder"]["conv_out"], h)
     return jnp.clip(out, 0.0, 1.0)[..., None]

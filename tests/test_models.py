@@ -101,6 +101,22 @@ def test_taesd_decode_depth_matches_composition():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_kl_decode_depth_matches_composition():
+    """KL fused depth head ≡ decode → mean_rgb → clip → (x+1)/2."""
+    from depth_completion_tpu.models import vae_kl
+
+    cfg = registry.TINY_VAE_CONFIG
+    params = vae_kl.init_vae(jax.random.PRNGKey(0), cfg)
+    lat = 0.2 * jax.random.normal(jax.random.PRNGKey(2), (2, 6, 7, cfg.latent_channels))
+    rgb = vae_kl.decode(params, lat, cfg)
+    ref = (jnp.clip(jnp.mean(rgb, axis=-1, keepdims=True), -1, 1) + 1) / 2
+    fused = vae_kl.decode_depth(params, lat, cfg)
+    assert fused.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-6)
+    g = jax.grad(lambda z: jnp.sum(vae_kl.decode_depth(params, z, cfg)))(lat)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_text_encoder_shapes():
     cfg = registry.TINY_TEXT_CONFIG
     params = init_text_encoder(jax.random.PRNGKey(0), cfg)
