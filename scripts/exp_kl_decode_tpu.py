@@ -66,9 +66,40 @@ def main():
                 lambda zz: jnp.sum(vae_kl.decode(params, zz, cfg).astype(jnp.float32))
             )(z)
 
+        # The real guidance path: the depth head. Composed = the pre-fusion
+        # form (decode → mean_rgb → clip); fused = vae_kl.decode_depth
+        # (conv3x3_mean_tap head). clip makes the cotangent data-dependent —
+        # without it XLA folds the head conv when dy is constant (PERF.md).
+        def composed(zz):
+            rgb = vae_kl.decode(params, zz, cfg)
+            d = jnp.clip(jnp.mean(rgb, axis=-1, keepdims=True), -1.0, 1.0)
+            return (d + 1.0) / 2.0
+
+        @jax.jit
+        def hgrad_composed(z):
+            return jax.grad(
+                lambda zz: jnp.sum(jnp.square(composed(zz)).astype(jnp.float32))
+            )(z)
+
+        @jax.jit
+        def hgrad_fused(z):
+            return jax.grad(
+                lambda zz: jnp.sum(
+                    jnp.square(vae_kl.decode_depth(params, zz, cfg)).astype(
+                        jnp.float32
+                    )
+                )
+            )(z)
+
         fwd = bench(f"kl decode fwd   (conv kernel {mode})", dec, lat)
         fb = bench(f"kl decode f+bwd (conv kernel {mode})", dgrad, lat)
-        print(f"  -> {mode}: fwd {fwd:.2f} ms, fwd+bwd {fb:.2f} ms", flush=True)
+        hc = bench(f"kl depth head composed f+bwd (conv {mode})", hgrad_composed, lat)
+        hf = bench(f"kl depth head fused    f+bwd (conv {mode})", hgrad_fused, lat)
+        print(
+            f"  -> {mode}: fwd {fwd:.2f} ms, fwd+bwd {fb:.2f} ms, "
+            f"head composed {hc:.2f} ms, head fused {hf:.2f} ms",
+            flush=True,
+        )
 
     # numerical check between the two conv paths
     os.environ["DCT_CONV_KERNEL"] = "off"

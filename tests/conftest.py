@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Child processes (the multiprocess/sharded-worker tests) re-run
+# sitecustomize from PYTHONPATH; the axon plugin's register() dials the
+# remote-TPU relay at interpreter startup and retries forever when the
+# tunnel is down — scrub its site dir so CPU-only children never touch it.
+_pp = os.environ.get("PYTHONPATH", "")
+_pp_clean = os.pathsep.join(
+    p for p in _pp.split(os.pathsep) if p and ".axon_site" not in p
+)
+if _pp_clean != _pp:
+    os.environ["PYTHONPATH"] = _pp_clean
+
 # Persistent compilation cache: e2e sampling programs are expensive to build
 # on this small host; cache them across pytest runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
