@@ -45,6 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
+# Softmax runs in the exp2 domain: log2(e) folds into the (static) score
+# scale once, so the VPU evaluates native exp2 instead of exp's extra
+# per-element multiply, on every [block_q, block_k] tile. The saved row
+# maxima (m) are therefore log2-domain — a private contract between the
+# paired fwd/bwd kernels (residuals never leave the custom_vjp).
+_LOG2E = 1.4426950408889634
 
 # Test hook: run kernels in the Pallas interpreter (CPU) instead of Mosaic.
 INTERPRET = False
@@ -53,6 +59,12 @@ INTERPRET = False
 # two-kernel flash backward. The fused path computes the score matrix and
 # dp once instead of twice.
 FUSED_BWD = True
+
+# dtype of the fused backward's per-KV-block dq partials. They are pure HBM
+# round-trip (written by the kernel, summed in f32 right after): bf16 halves
+# that traffic (~128 MB/step at smoke geometry) at ~0.4% relative noise on
+# dq — the same precision class as the bf16 dk/dv outputs.
+DQ_PARTIALS_DTYPE = jnp.bfloat16
 
 
 def _next_multiple(x: int, m: int) -> int:
@@ -63,10 +75,29 @@ def _next_multiple(x: int, m: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _mask_tail(s, ki, block_k, kv_len, mask_tail):
+    """Mask padded KV columns — only on blocks that actually contain them.
+
+    Padding lives at the tail of the KV axis, so the iota+compare+select
+    (three full VPU passes over the [block_q, block_k] tile) is skipped
+    entirely when the sequence is block-aligned (``mask_tail=False``,
+    static) and gated behind a per-block branch otherwise.
+    """
+    if not mask_tail:
+        return s
+
+    def masked(x):
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + ki * block_k
+        return jnp.where(col < kv_len, x, MASK_VALUE)
+
+    return jax.lax.cond((ki + 1) * block_k > kv_len, masked, lambda x: x, s)
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
     m_scr, l_scr, acc_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
+    mask_tail: bool,
 ):
     ki = pl.program_id(2)
 
@@ -81,18 +112,16 @@ def _fwd_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [block_q, block_k]
-    s = s * sm_scale
+    s = s * (sm_scale * _LOG2E)  # log2-domain scores
 
-    # mask padded KV columns
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, MASK_VALUE)
+    s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
 
     m_prev = m_scr[...]  # [block_q, LANES]
     l_prev = l_scr[...]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
     m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, LANES]
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_k]
     l_corr = alpha * l_prev
     l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
 
@@ -125,6 +154,7 @@ def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
         kv_len=kv_len,
         block_k=block_k,
         num_kv_blocks=sk // block_k,
+        mask_tail=sk != kv_len,
     )
     return pl.pallas_call(
         kernel,
@@ -164,6 +194,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
+    mask_tail: bool,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(1)
@@ -183,11 +214,12 @@ def _bwd_dkv_kernel(
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, MASK_VALUE)
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m) * l_inv  # [block_q, block_k]
+    ) * (sm_scale * _LOG2E)
+    s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
+    # p = exp2(s − m)/l with the normalizer folded into the exponent: one
+    # exp2, no extra full-tile multiply. m is log2-domain (fwd contract).
+    mhat = m + jnp.where(l == 0.0, 0.0, jnp.log2(l))
+    p = jnp.exp2(s - mhat)  # [block_q, block_k]
 
     # dv += p^T @ do
     dv_scr[...] += jax.lax.dot_general(
@@ -216,6 +248,7 @@ def _bwd_fused_kernel(
     q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
     dk_ref, dv_ref, dqp_ref, dk_scr, dv_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
+    mask_tail: bool,
 ):
     """One-pass backward: accumulates dk/dv in scratch and emits per-KV-block
     dq partials (summed outside the kernel). Avoids the second full
@@ -238,11 +271,12 @@ def _bwd_fused_kernel(
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, MASK_VALUE)
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m) * l_inv  # [block_q, block_k]
+    ) * (sm_scale * _LOG2E)
+    s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
+    # p = exp2(s − m)/l with the normalizer folded into the exponent: one
+    # exp2, no extra full-tile multiply. m is log2-domain (fwd contract).
+    mhat = m + jnp.where(l == 0.0, 0.0, jnp.log2(l))
+    p = jnp.exp2(s - mhat)  # [block_q, block_k]
 
     dv_scr[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -272,6 +306,7 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
     dq_ref, dq_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
+    mask_tail: bool,
 ):
     ki = pl.program_id(2)
 
@@ -289,11 +324,10 @@ def _bwd_dq_kernel(
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, MASK_VALUE)
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m) * l_inv
+    ) * (sm_scale * _LOG2E)
+    s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
+    mhat = m + jnp.where(l == 0.0, 0.0, jnp.log2(l))
+    p = jnp.exp2(s - mhat)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -339,6 +373,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
         fused = functools.partial(
             _bwd_fused_kernel,
             sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_q_blocks=nq,
+            mask_tail=sk != kv_len,
         )
         dk, dv, dq_partial = pl.pallas_call(
             fused,
@@ -360,7 +395,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
             out_shape=[
                 jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
                 jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
-                jax.ShapeDtypeStruct((nk, bh, sq, d), jnp.float32),
+                jax.ShapeDtypeStruct((nk, bh, sq, d), DQ_PARTIALS_DTYPE),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_k, d), jnp.float32),
@@ -371,12 +406,13 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
             ),
             interpret=INTERPRET,
         )(q, k, v, do, l, m, di)
-        dq = jnp.sum(dq_partial, axis=0).astype(q.dtype)
+        dq = jnp.sum(dq_partial, axis=0, dtype=jnp.float32).astype(q.dtype)
         return dq, dk, dv
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
         sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_q_blocks=nq,
+        mask_tail=sk != kv_len,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -411,6 +447,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
         sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_kv_blocks=nk,
+        mask_tail=sk != kv_len,
     )
     dq = pl.pallas_call(
         dq_kernel,

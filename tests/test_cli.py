@@ -126,6 +126,29 @@ def test_predict_ensemble(dataset, tmp_path, monkeypatch):
     assert d.shape == (48, 64, 1) and np.isfinite(d).all()
 
 
+def test_predict_vae_original(dataset, tmp_path, monkeypatch):
+    """--vae original drives the KL decoder's fused depth head end-to-end
+    (reference predict.py's default full-VAE path)."""
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.predict import main as predict_main
+
+    out = tmp_path / "out_kl"
+    args = [
+        str(dataset), str(out),
+        "--model", "random", "--vae", "original",
+        "--steps", "2", "--res", "64",
+        "--precision", "fp32", "--compress", "npy", "--vis", "false",
+    ]
+    with pytest.raises(SystemExit) as e:
+        predict_main(args, standalone_mode=True)
+    assert e.value.code in (0, None)
+    denses = sorted((out / "scene" / "dense").glob("*.npy"))
+    assert len(denses) == 3
+    for p in denses:
+        d = np.load(p)
+        assert d.shape == (48, 64, 1) and np.isfinite(d).all()
+
+
 def test_predict_sharded_workers(dataset, tmp_path):
     """Two independent worker processes with --shard-index/--num-shards write
     disjoint, jointly complete outputs to a shared destination — the

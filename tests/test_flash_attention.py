@@ -133,4 +133,7 @@ def test_two_pass_backward_matches_fused():
     finally:
         fa.FUSED_BWD = True
     for a, b in zip(g_fused, g_two):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        # dq: the fused path's per-KV-block partials are stored in bf16
+        # (fa.DQ_PARTIALS_DTYPE) while the two-pass path accumulates dq in
+        # f32 scratch, so agreement is bf16-class, not exact.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
