@@ -50,6 +50,29 @@ def test_ring_grad_matches_full_attention():
         )
 
 
+def test_ring_unet_stage0_geometry():
+    """UNet stage-0 channel config (C=320, 5 heads of d=64) at a sequence
+    long enough to rotate real per-device KV shards (S=2304 → 288/device on
+    the 8-ring): fwd and guidance-gradient equivalence vs full attention."""
+    mesh = _mesh()
+    q, k, v = _qkv(n=1, s=2304, c=320, seed=2)
+
+    def loss_ring(q):
+        return jnp.sum(jnp.square(ring_attention(q, k, v, 5, mesh)))
+
+    def loss_ref(q):
+        return jnp.sum(jnp.square(attention(q, k, v, 5)))
+
+    out = ring_attention(q, k, v, num_heads=5, mesh=mesh)
+    ref = attention(q, k, v, num_heads=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    g_ring = jax.grad(loss_ring)(q)
+    g_ref = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(
+        np.asarray(g_ring), np.asarray(g_ref), rtol=1e-4, atol=1e-3
+    )
+
+
 def test_ring_rejects_ragged_sequence():
     import pytest
 
