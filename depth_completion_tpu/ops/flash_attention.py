@@ -21,13 +21,13 @@ would shard S over the mesh and rotate KV blocks with
 Not a parity requirement; the hook is the ``attention_fn`` argument of
 ``apply_unet``.
 
-Backward math (standard flash bwd):
-    p  = exp(s − m) / l          (recomputed from the saved row stats m, l)
+Backward math (standard flash bwd, exp2 domain):
+    p  = exp2(s·log2e − m̂)      (m̂ = m + log2 l, the single saved row stat)
     dv = pᵀ @ do
     dp = do @ vᵀ
-    ds = p ⊙ (dp − di),  di = rowsum(do ⊙ o)
+    ds = p ⊙ (dp − di),  di = rowsum(do ⊙ o)   (recomputed per block from o)
     dk = dsᵀ @ q · scale
-    dq = Σ_kv ds @ k · scale
+    dq = Σ_kv ds @ k · scale     (bf16 per-KV-block partials, f32 reduce)
 
 Falls back to `models.layers.attention` (XLA) when Pallas/TPU is not
 available or shapes are tiny (cross-attention with S_kv=2 is a plain matmul).
@@ -94,7 +94,7 @@ def _mask_tail(s, ki, block_k, kv_len, mask_tail):
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
+    q_ref, k_ref, v_ref, o_ref, mhat_ref,
     m_scr, l_scr, acc_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
     mask_tail: bool,
@@ -139,12 +139,17 @@ def _fwd_kernel(
         l_final = l_scr[...]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0] = (acc_scr[...] * l_inv[:, : acc_scr.shape[-1]]).astype(o_ref.dtype)
-        l_ref[0] = l_final.astype(l_ref.dtype)
-        m_ref[0] = m_scr[...].astype(m_ref.dtype)
+        # The backward recomputes p as exp2(s − m − log2 l); fold the two
+        # row stats into the single residual m̂ = m + log2(l) here, where
+        # both live in VMEM — one stats tensor to HBM instead of two, and
+        # the bwd kernels re-read row stats once per KV block.
+        mhat_ref[0] = m_scr[...] + jnp.where(
+            l_final == 0.0, 0.0, jnp.log2(l_final)
+        )
 
 
 def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
-    """q [BH, Sq, D], k/v [BH, Sk, D] (padded) → (o, l, m)."""
+    """q [BH, Sq, D], k/v [BH, Sk, D] (padded) → (o, m̂=m+log2 l)."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     grid = (bh, sq // block_q, sk // block_k)
@@ -167,11 +172,9 @@ def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32),
         ],
         scratch_shapes=[
@@ -191,7 +194,7 @@ def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
 # ---------------------------------------------------------------------------
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+    q_ref, k_ref, v_ref, do_ref, mhat_ref, o_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
     mask_tail: bool,
@@ -208,17 +211,22 @@ def _bwd_dkv_kernel(
     k = k_ref[0]  # [block_k, d]
     v = v_ref[0]
     do = do_ref[0]  # [block_q, d]
-    l = l_ref[0][:, :1]  # [block_q, 1]
-    m = m_ref[0][:, :1]
-    di = di_ref[0][:, :1]
+    mhat = mhat_ref[0][:, :1]  # [block_q, 1], m + log2(l) from the fwd
+    # di = rowsum(do * o), recomputed per visit from the [block_q, d] o
+    # block instead of streaming a precomputed lane-replicated f32 tensor
+    # (4x the bytes of o) through HBM once per KV block.
+    di = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    )
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (sm_scale * _LOG2E)
     s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
-    # p = exp2(s − m)/l with the normalizer folded into the exponent: one
-    # exp2, no extra full-tile multiply. m is log2-domain (fwd contract).
-    mhat = m + jnp.where(l == 0.0, 0.0, jnp.log2(l))
+    # p = exp2(s − m̂) — the 1/l normalizer is folded into m̂ by the fwd:
+    # one exp2, no extra full-tile multiply (log2-domain fwd contract).
     p = jnp.exp2(s - mhat)  # [block_q, block_k]
 
     # dv += p^T @ do
@@ -245,7 +253,7 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_fused_kernel(
-    q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+    q_ref, k_ref, v_ref, do_ref, mhat_ref, o_ref,
     dk_ref, dv_ref, dqp_ref, dk_scr, dv_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
     mask_tail: bool,
@@ -265,17 +273,22 @@ def _bwd_fused_kernel(
     k = k_ref[0]  # [block_k, d]
     v = v_ref[0]
     do = do_ref[0]  # [block_q, d]
-    l = l_ref[0][:, :1]  # [block_q, 1]
-    m = m_ref[0][:, :1]
-    di = di_ref[0][:, :1]
+    mhat = mhat_ref[0][:, :1]  # [block_q, 1], m + log2(l) from the fwd
+    # di = rowsum(do * o), recomputed per visit from the [block_q, d] o
+    # block instead of streaming a precomputed lane-replicated f32 tensor
+    # (4x the bytes of o) through HBM once per KV block.
+    di = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    )
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (sm_scale * _LOG2E)
     s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
-    # p = exp2(s − m)/l with the normalizer folded into the exponent: one
-    # exp2, no extra full-tile multiply. m is log2-domain (fwd contract).
-    mhat = m + jnp.where(l == 0.0, 0.0, jnp.log2(l))
+    # p = exp2(s − m̂) — the 1/l normalizer is folded into m̂ by the fwd:
+    # one exp2, no extra full-tile multiply (log2-domain fwd contract).
     p = jnp.exp2(s - mhat)  # [block_q, block_k]
 
     dv_scr[...] += jax.lax.dot_general(
@@ -303,7 +316,7 @@ def _bwd_fused_kernel(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+    q_ref, k_ref, v_ref, do_ref, mhat_ref, o_ref,
     dq_ref, dq_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
     mask_tail: bool,
@@ -318,15 +331,17 @@ def _bwd_dq_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    l = l_ref[0][:, :1]
-    m = m_ref[0][:, :1]
-    di = di_ref[0][:, :1]
+    mhat = mhat_ref[0][:, :1]  # m + log2(l) from the fwd
+    di = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    )
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (sm_scale * _LOG2E)
     s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
-    mhat = m + jnp.where(l == 0.0, 0.0, jnp.log2(l))
     p = jnp.exp2(s - mhat)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -349,23 +364,19 @@ def _bwd_dq_kernel(
     jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def _flash(q, k, v, sm_scale, block_q, block_k, bwd_block_q, bwd_block_k, kv_len):
-    o, _, _ = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
+    o, _ = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
     return o
 
 
 def _flash_fwd(q, k, v, sm_scale, block_q, block_k, bwd_block_q, bwd_block_k, kv_len):
-    o, l, m = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
-    return o, (q, k, v, o, l, m)
+    o, mhat = _fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
+    return o, (q, k, v, o, mhat)
 
 
 def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res, do):
-    q, k, v, o, l, m = res
+    q, k, v, o, mhat = res
     bh, sq, d = q.shape
     sk = k.shape[1]
-    di = jnp.sum(
-        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
-    )  # [BH, Sq, 1]
-    di = jnp.broadcast_to(di, (bh, sq, _LANES))
 
     nq, nk = sq // block_q, sk // block_k
 
@@ -384,8 +395,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
                 pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
                 pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
@@ -405,7 +415,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=INTERPRET,
-        )(q, k, v, do, l, m, di)
+        )(q, k, v, do, mhat, o)
         dq = jnp.sum(dq_partial, axis=0, dtype=jnp.float32).astype(q.dtype)
         return dq, dk, dv
 
@@ -423,8 +433,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
             pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
@@ -442,7 +451,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(q, k, v, do, l, m, di)
+    )(q, k, v, do, mhat, o)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
@@ -458,8 +467,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -468,7 +476,7 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(q, k, v, do, l, m, di)
+    )(q, k, v, do, mhat, o)
     return dq, dk, dv
 
 
