@@ -113,8 +113,20 @@ def test_kl_decode_depth_matches_composition():
     fused = vae_kl.decode_depth(params, lat, cfg)
     assert fused.shape == ref.shape
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-6)
-    g = jax.grad(lambda z: jnp.sum(vae_kl.decode_depth(params, z, cfg)))(lat)
+    # gradient equivalence on the guidance path (square loss makes the
+    # cotangent data-dependent so the head conv can't be folded away)
+    def loss_fused(z):
+        return jnp.sum(jnp.square(vae_kl.decode_depth(params, z, cfg)))
+
+    def loss_composed(z):
+        rgb = vae_kl.decode(params, z, cfg)
+        d = (jnp.clip(jnp.mean(rgb, axis=-1, keepdims=True), -1, 1) + 1) / 2
+        return jnp.sum(jnp.square(d))
+
+    g = jax.grad(loss_fused)(lat)
+    g_ref = jax.grad(loss_composed)(lat)
     assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
 
 
 def test_text_encoder_shapes():
