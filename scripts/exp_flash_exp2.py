@@ -44,7 +44,19 @@ def main():
     #   S=1728 pads to 2048 today (+40% QK/PV work); 256-blocks pad to 1792
     cases = [
         (72 * 96, 5, 320, [(512, 1024), (768, 768), (768, 1024)]),
-        (36 * 48, 10, 640, [(512, 1024), (512, 512), (256, 256), (384, 384)]),
+        (
+            36 * 48,
+            10,
+            640,
+            [
+                (512, 1024),  # shipped default: pads 1728 -> 2048 (+40% QK/PV)
+                (512, 512),
+                (256, 256),  # pads to 1792 (+3.7%)
+                (256, 896),  # lcm 1792: minimal pad with a wide KV block
+                (128, 1792),  # minimal pad, single KV block
+                (256, 1792),
+            ],
+        ),
     ]
     for s, heads, c, blocks in cases:
         q = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (1, s, c), jnp.bfloat16)
