@@ -74,7 +74,6 @@ def _twostream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc,
 
     k = k_ref[0]
     v = v_ref[0]
-    halves = []
     for h in range(2):
         sl = slice(h * block_q, (h + 1) * block_q)
         q = q_ref[0][sl]
@@ -92,7 +91,6 @@ def _twostream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc,
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         acc[sl] = acc[sl] * alpha[:, : acc.shape[-1]] + o_curr
-        halves.append(sl)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
