@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BQ, BK, D = 512, 1024, 64
-STEPS = 256
+STEPS = int(os.environ.get("PROBE_STEPS", "256"))
 SCALE = 0.125 * 1.4426950408889634
 
 
@@ -94,6 +94,7 @@ def _run(mode):
             pltpu.VMEM((BQ, 128), jnp.float32),
             pltpu.VMEM((BQ, D), jnp.float32),
         ],
+        interpret=jax.default_backend() != "tpu",
     )
     fn = jax.jit(fn)
     jax.block_until_ready(fn(q, k, v))

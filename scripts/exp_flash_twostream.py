@@ -130,6 +130,7 @@ def _fwd(q, k, v, sm_scale, block_q, block_k, twostream):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=jax.default_backend() != "tpu",
     )(q, k, v)
 
 

@@ -60,6 +60,7 @@ def _run(n_out, bk, steps):
         out_specs=pl.BlockSpec((BQ, n_out), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((BQ, n_out), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((BQ, n_out), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
     )
     fn = jax.jit(fn)
     jax.block_until_ready(fn(p, v))
@@ -77,7 +78,7 @@ def _run(n_out, bk, steps):
 
 
 def main():
-    n = 256
+    n = int(os.environ.get("PROBE_STEPS", "256"))
     print(f"backend: {jax.default_backend()}", flush=True)
     print("A: per-head N=64 dots (flash PV shape), 2N steps for two heads")
     ta = _run(64, BK, 2 * n)
