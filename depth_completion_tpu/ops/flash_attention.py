@@ -66,6 +66,15 @@ FUSED_BWD = True
 # dq — the same precision class as the bf16 dk/dv outputs.
 DQ_PARTIALS_DTYPE = jnp.bfloat16
 
+# Independent q-block streams per forward kernel body. The body's dataflow
+# (QK dot → online softmax → PV dot) is a strict MXU→VPU→MXU dependency
+# chain; with 2 streams the body carries two such chains over disjoint
+# q rows, giving Mosaic's scheduler freedom to overlap one stream's VPU
+# softmax with the other's MXU dots. Exact (each stream is the same math
+# on its rows). Applied when the padded sequence divides 2·block_q;
+# measured via scripts/exp_flash_overlap.py / exp_flash_twostream.py.
+FWD_STREAMS = 1
+
 
 def _next_multiple(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -97,7 +106,7 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, mhat_ref,
     m_scr, l_scr, acc_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
-    mask_tail: bool,
+    mask_tail: bool, block_q: int, streams: int,
 ):
     ki = pl.program_id(2)
 
@@ -107,32 +116,35 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [block_q, d]
     k = k_ref[0]  # [block_k, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [block_q, block_k]
-    s = s * (sm_scale * _LOG2E)  # log2-domain scores
-
-    s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
-
-    m_prev = m_scr[...]  # [block_q, LANES]
-    l_prev = l_scr[...]
-    m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
-    m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, LANES]
-    alpha = jnp.exp2(m_prev - m_next)
-    p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_k]
-    l_corr = alpha * l_prev
-    l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
-
-    m_scr[...] = m_next
-    l_scr[...] = l_next
-
     v = v_ref[0]  # [block_k, d]
-    o_curr = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )  # [block_q, d]
-    acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + o_curr
+    d_acc = acc_scr.shape[-1]
+    for h in range(streams):  # independent row streams (see FWD_STREAMS)
+        rows = slice(h * block_q, (h + 1) * block_q)
+        q = q_ref[0][rows]  # [block_q, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        s = s * (sm_scale * _LOG2E)  # log2-domain scores
+
+        s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
+
+        m_prev = m_scr[rows]  # [block_q, LANES]
+        l_prev = l_scr[rows]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, LANES]
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_k]
+        l_corr = alpha * l_prev
+        l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[rows] = m_next
+        l_scr[rows] = l_next
+
+        o_curr = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # [block_q, d]
+        acc_scr[rows] = acc_scr[rows] * alpha[:, :d_acc] + o_curr
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
@@ -152,7 +164,9 @@ def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
     """q [BH, Sq, D], k/v [BH, Sk, D] (padded) → (o, m̂=m+log2 l)."""
     bh, sq, d = q.shape
     sk = k.shape[1]
-    grid = (bh, sq // block_q, sk // block_k)
+    streams = FWD_STREAMS if sq % (FWD_STREAMS * block_q) == 0 else 1
+    rows = streams * block_q
+    grid = (bh, sq // rows, sk // block_k)
     kernel = functools.partial(
         _fwd_kernel,
         sm_scale=sm_scale,
@@ -160,27 +174,29 @@ def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
         block_k=block_k,
         num_kv_blocks=sk // block_k,
         mask_tail=sk != kv_len,
+        block_q=block_q,
+        streams=streams,
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, rows, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, rows, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, rows, _LANES), lambda b, qi, ki: (b, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
             jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((rows, _LANES), jnp.float32),
+            pltpu.VMEM((rows, _LANES), jnp.float32),
+            pltpu.VMEM((rows, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

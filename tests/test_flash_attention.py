@@ -137,3 +137,31 @@ def test_two_pass_backward_matches_fused():
         # (fa.DQ_PARTIALS_DTYPE) while the two-pass path accumulates dq in
         # f32 scratch, so agreement is bf16-class, not exact.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_two_stream_forward_matches_single():
+    """FWD_STREAMS=2 (two independent q-row streams per kernel body) is the
+    same math on disjoint rows — bit-equal output and identical grads up to
+    the bf16 dq-partial noise."""
+    q, k, v = _qkv(s=512, c=128, seed=9)  # 4 q-blocks of 128 → 2 stream pairs
+
+    def run(streams):
+        def loss(q, k, v):
+            o = fa.flash_attention(q, k, v, 2, block_q=128, block_k=128,
+                                   bwd_block_q=128, bwd_block_k=128,
+                                   min_seq_len=1)
+            return o, jnp.sum(jnp.cos(o))
+
+        fa.FWD_STREAMS = streams
+        try:
+            o, _ = loss(q, k, v)
+            g = jax.grad(lambda *a: loss(*a)[1], argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fa.FWD_STREAMS = 1
+        return o, g
+
+    o1, g1 = run(1)
+    o2, g2 = run(2)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
