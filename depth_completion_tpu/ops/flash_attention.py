@@ -75,6 +75,12 @@ DQ_PARTIALS_DTYPE = jnp.bfloat16
 # measured via scripts/exp_flash_overlap.py / exp_flash_twostream.py.
 FWD_STREAMS = 1
 
+# Same idea for the fused backward body (two independent q-row streams per
+# instance; only the dk/dv scratch accumulate serializes between them).
+# VMEM note: two streams hold two score/p/ds/dp tile sets — prefer
+# bwd blocks <= (512,512) when enabling.
+BWD_STREAMS = 1
+
 
 def _next_multiple(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -272,11 +278,16 @@ def _bwd_fused_kernel(
     q_ref, k_ref, v_ref, do_ref, mhat_ref, o_ref,
     dk_ref, dv_ref, dqp_ref, dk_scr, dv_scr,
     *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
-    mask_tail: bool,
+    mask_tail: bool, block_q: int, streams: int,
 ):
     """One-pass backward: accumulates dk/dv in scratch and emits per-KV-block
     dq partials (summed outside the kernel). Avoids the second full
-    recomputation of the score matrix that a separate dq kernel needs."""
+    recomputation of the score matrix that a separate dq kernel needs.
+
+    With ``streams=2`` the body processes two q-row streams (see
+    BWD_STREAMS): their score/p/ds chains are independent — only the dk/dv
+    scratch accumulate serializes between them, in the same qi order as
+    separate grid steps, so results are bit-equal."""
     qi = pl.program_id(2)
     ki = pl.program_id(1)
 
@@ -285,45 +296,47 @@ def _bwd_fused_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]  # [block_q, d]
     k = k_ref[0]  # [block_k, d]
     v = v_ref[0]
-    do = do_ref[0]  # [block_q, d]
-    mhat = mhat_ref[0][:, :1]  # [block_q, 1], m + log2(l) from the fwd
-    # di = rowsum(do * o), recomputed per visit from the [block_q, d] o
-    # block instead of streaming a precomputed lane-replicated f32 tensor
-    # (4x the bytes of o) through HBM once per KV block.
-    di = jnp.sum(
-        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
-        axis=-1,
-        keepdims=True,
-    )
+    for h in range(streams):
+        rows = slice(h * block_q, (h + 1) * block_q)
+        q = q_ref[0][rows]  # [block_q, d]
+        do = do_ref[0][rows]  # [block_q, d]
+        mhat = mhat_ref[0][rows, :1]  # [block_q, 1], m + log2(l) from fwd
+        # di = rowsum(do * o), recomputed per visit from the [block_q, d] o
+        # block instead of streaming a precomputed lane-replicated f32
+        # tensor (4x the bytes of o) through HBM once per KV block.
+        di = jnp.sum(
+            do.astype(jnp.float32) * o_ref[0][rows].astype(jnp.float32),
+            axis=-1,
+            keepdims=True,
+        )
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (sm_scale * _LOG2E)
-    s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
-    # p = exp2(s − m̂) — the 1/l normalizer is folded into m̂ by the fwd:
-    # one exp2, no extra full-tile multiply (log2-domain fwd contract).
-    p = jnp.exp2(s - mhat)  # [block_q, block_k]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (sm_scale * _LOG2E)
+        s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
+        # p = exp2(s − m̂) — the 1/l normalizer is folded into m̂ by the
+        # fwd: one exp2, no extra full-tile multiply (log2-domain contract).
+        p = jnp.exp2(s - mhat)  # [block_q, block_k]
 
-    dv_scr[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - di)  # [block_q, block_k]
-    dk_scr[...] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    # dq partial for this KV block (reduced over ki outside the kernel)
-    dqp_ref[0, 0] = (
-        jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
-        * sm_scale
-    ).astype(dqp_ref.dtype)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di)  # [block_q, block_k]
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        # dq partial for this KV block (reduced over ki outside the kernel)
+        dqp_ref[0, 0, rows] = (
+            jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+            * sm_scale
+        ).astype(dqp_ref.dtype)
 
     @pl.when(qi == num_q_blocks - 1)
     def _store():
@@ -397,26 +410,29 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
     nq, nk = sq // block_q, sk // block_k
 
     if FUSED_BWD:
+        streams = BWD_STREAMS if sq % (BWD_STREAMS * block_q) == 0 else 1
+        rows = streams * block_q
         fused = functools.partial(
             _bwd_fused_kernel,
-            sm_scale=sm_scale, kv_len=kv_len, block_k=block_k, num_q_blocks=nq,
-            mask_tail=sk != kv_len,
+            sm_scale=sm_scale, kv_len=kv_len, block_k=block_k,
+            num_q_blocks=sq // rows,
+            mask_tail=sk != kv_len, block_q=block_q, streams=streams,
         )
         dk, dv, dq_partial = pl.pallas_call(
             fused,
-            grid=(bh, nk, nq),
+            grid=(bh, nk, sq // rows),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-                pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, _LANES), lambda b, ki, qi: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, rows, _LANES), lambda b, ki, qi: (b, qi, 0)),
+                pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-                pl.BlockSpec((1, 1, block_q, d), lambda b, ki, qi: (ki, b, qi, 0)),
+                pl.BlockSpec((1, 1, rows, d), lambda b, ki, qi: (ki, b, qi, 0)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((bh, sk, d), k.dtype),

@@ -165,3 +165,27 @@ def test_two_stream_forward_matches_single():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_two_stream_backward_matches_single():
+    """BWD_STREAMS=2: the fused backward's streams accumulate dk/dv in the
+    same qi order as separate grid steps — grads are bit-equal."""
+    q, k, v = _qkv(s=512, c=128, seed=11)
+
+    def grads():
+        def loss(q, k, v):
+            o = fa.flash_attention(q, k, v, 2, block_q=128, block_k=128,
+                                   bwd_block_q=128, bwd_block_k=128,
+                                   min_seq_len=1)
+            return jnp.sum(jnp.cos(o))
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    g1 = grads()
+    fa.BWD_STREAMS = 2
+    try:
+        g2 = grads()
+    finally:
+        fa.BWD_STREAMS = 1
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
