@@ -72,14 +72,17 @@ DQ_PARTIALS_DTYPE = jnp.bfloat16
 # q rows, giving Mosaic's scheduler freedom to overlap one stream's VPU
 # softmax with the other's MXU dots. Exact (each stream is the same math
 # on its rows). Applied when the padded sequence divides 2·block_q;
-# measured via scripts/exp_flash_overlap.py / exp_flash_twostream.py.
-FWD_STREAMS = 1
+# measured via scripts/exp_flash_overlap.py / exp_flash_twostream.py and
+# trace-verified on v5e (scripts/exp_streams_trace.py: fwd 1.84→1.77 ms,
+# bwd 2.70→2.63 ms per stage-0 call, bit-identical outputs).
+FWD_STREAMS = 2
 
 # Same idea for the fused backward body (two independent q-row streams per
 # instance; only the dk/dv scratch accumulate serializes between them).
 # VMEM note: two streams hold two score/p/ds/dp tile sets — prefer
-# bwd blocks <= (512,512) when enabling.
-BWD_STREAMS = 1
+# bwd blocks <= (512,512) when enabling. Fits at the shipped defaults
+# (verified on v5e at stage-0 geometry).
+BWD_STREAMS = 2
 
 
 def _next_multiple(x: int, m: int) -> int:
