@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,14 +76,15 @@ DQ_PARTIALS_DTYPE = jnp.bfloat16
 # measured via scripts/exp_flash_overlap.py / exp_flash_twostream.py and
 # trace-verified on v5e (scripts/exp_streams_trace.py: fwd 1.84→1.77 ms,
 # bwd 2.70→2.63 ms per stage-0 call, bit-identical outputs).
-FWD_STREAMS = 2
+# Overridable via DCT_FWD_STREAMS / DCT_BWD_STREAMS for full-program A/Bs.
+FWD_STREAMS = int(os.environ.get("DCT_FWD_STREAMS", "2"))
 
 # Same idea for the fused backward body (two independent q-row streams per
 # instance; only the dk/dv scratch accumulate serializes between them).
 # VMEM note: two streams hold two score/p/ds/dp tile sets — prefer
 # bwd blocks <= (512,512) when enabling. Fits at the shipped defaults
 # (verified on v5e at stage-0 geometry).
-BWD_STREAMS = 2
+BWD_STREAMS = int(os.environ.get("DCT_BWD_STREAMS", "2"))
 
 
 def _next_multiple(x: int, m: int) -> int:

@@ -71,7 +71,7 @@ def run_case(tag, fwd_streams, bwd_streams):
         )
     )
     ref = sync(fwd(q))
-    sync(vg(q))
+    gref = sync(vg(q))
 
     logdir = f"/tmp/dct_streams_{tag}"
     with jax.profiler.trace(logdir):
@@ -86,28 +86,38 @@ def run_case(tag, fwd_streams, bwd_streams):
 
     by_name = device_kernel_ms(logdir)
     total_fwd = total_bwd = 0.0
+    n_fwd = n_bwd = 0
     for name, (ms, cnt) in by_name.items():
         low = name.lower()
-        if "flash" not in low and "fused" not in low and "custom-call" not in low:
-            continue
-        # fwd kernel events appear 2*ITERS times (fwd alone + fwd of the vjp)
-        if "bwd" in low or "dkv" in low or "dq" in low:
-            total_bwd += ms
-        else:
+        # Match only the Pallas kernel events by their kernel-function names
+        # (bare "custom-call" events are ambiguous — excluded from totals).
+        if "fwd_kernel" in low:
             total_fwd += ms
+            n_fwd += cnt
+        elif "bwd" in low or "dkv" in low or "dq_kernel" in low:
+            total_bwd += ms
+            n_bwd += cnt
     print(f"[{tag}] fwd_streams={fwd_streams} bwd_streams={bwd_streams}")
     for name, (ms, cnt) in sorted(by_name.items(), key=lambda kv: -kv[1][0])[:8]:
         print(f"    {ms:9.3f} ms total x{cnt:3d}  {name[:100]}")
-    return ref
+    # fwd kernel events appear 2*ITERS times (fwd alone + fwd of the vjp)
+    print(
+        f"    totals: fwd {total_fwd:.3f} ms / {n_fwd} events "
+        f"({total_fwd / max(n_fwd, 1):.3f} ms/event), "
+        f"bwd {total_bwd:.3f} ms / {n_bwd} events "
+        f"({total_bwd / max(n_bwd, 1):.3f} ms/event)"
+    )
+    return ref, gref
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    r11 = run_case("f1b1", 1, 1)
-    r21 = run_case("f2b1", 2, 1)
-    r12 = run_case("f1b2", 1, 2)
-    r22 = run_case("f2b2", 2, 2)
-    print("checksum deltas vs f1b1:", r21 - r11, r12 - r11, r22 - r11)
+    r11, g11 = run_case("f1b1", 1, 1)
+    r21, g21 = run_case("f2b1", 2, 1)
+    r12, g12 = run_case("f1b2", 1, 2)
+    r22, g22 = run_case("f2b2", 2, 2)
+    print("fwd checksum deltas vs f1b1:", r21 - r11, r12 - r11, r22 - r11)
+    print("bwd checksum deltas vs f1b1:", g21 - g11, g12 - g11, g22 - g11)
 
 
 if __name__ == "__main__":

@@ -152,12 +152,13 @@ def test_two_stream_forward_matches_single():
                                    min_seq_len=1)
             return o, jnp.sum(jnp.cos(o))
 
+        old = fa.FWD_STREAMS
         fa.FWD_STREAMS = streams
         try:
             o, _ = loss(q, k, v)
             g = jax.grad(lambda *a: loss(*a)[1], argnums=(0, 1, 2))(q, k, v)
         finally:
-            fa.FWD_STREAMS = 1
+            fa.FWD_STREAMS = old
         return o, g
 
     o1, g1 = run(1)
@@ -181,11 +182,15 @@ def test_two_stream_backward_matches_single():
 
         return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
-    g1 = grads()
-    fa.BWD_STREAMS = 2
+    # Pin the baseline at streams=1 explicitly (the module default may be 2)
+    # and restore whatever was set before, so no state leaks into later tests.
+    old = fa.BWD_STREAMS
     try:
+        fa.BWD_STREAMS = 1
+        g1 = grads()
+        fa.BWD_STREAMS = 2
         g2 = grads()
     finally:
-        fa.BWD_STREAMS = 1
+        fa.BWD_STREAMS = old
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
