@@ -61,3 +61,71 @@ def test_adagrad_matches_torch_semantics():
 def test_unknown_optimizer_raises():
     with pytest.raises(ValueError):
         make_optimizer("rmsprop")
+
+
+@pytest.mark.parametrize("opt_name", ["adam", "sgd", "adagrad"])
+def test_multistep_trajectory_matches_torch(opt_name):
+    """20-step trajectory equivalence vs torch on an identical injected
+    gradient sequence — both parameter groups, torch-default
+    hyperparameters. This isolates exact optimizer-state parity
+    (moments, bias correction, accumulators) where the e2e pipeline
+    parity test (test_pipeline_parity.py) can only bound statistically:
+    there the ε-rescale amplifies fp32 network-backward noise, here the
+    gradients are bit-identical on both sides."""
+    import torch
+
+    rng = np.random.default_rng(5)
+    lat0 = rng.standard_normal((2, 3, 4, 1)).astype(np.float32)
+    sc0 = rng.standard_normal((2, 1, 1, 1)).astype(np.float32)
+    grad_seq = [
+        (
+            rng.standard_normal((2, 3, 4, 1)).astype(np.float32),
+            rng.standard_normal((2, 1, 1, 1)).astype(np.float32),
+        )
+        for _ in range(20)
+    ]
+
+    # torch reference (reference marigold_dc.py:774-789 group structure)
+    p_lat = torch.nn.Parameter(torch.from_numpy(lat0.copy()))
+    p_sc = torch.nn.Parameter(torch.from_numpy(sc0.copy()))
+    groups = [
+        {"params": [p_lat], "lr": 0.05},
+        {"params": [p_sc], "lr": 0.005},
+    ]
+    topt = {
+        "adam": torch.optim.Adam,
+        "sgd": torch.optim.SGD,
+        "adagrad": torch.optim.Adagrad,
+    }[opt_name](groups)
+    for g_lat, g_sc in grad_seq:
+        topt.zero_grad()
+        p_lat.grad = torch.from_numpy(g_lat.copy())
+        p_sc.grad = torch.from_numpy(g_sc.copy())
+        topt.step()
+
+    # ours
+    params = {
+        "latents": jnp.asarray(lat0),
+        "affine": {"scale": jnp.asarray(sc0)},
+    }
+    opt = make_optimizer(opt_name, lr_latent=0.05, lr_scaling=0.005)
+    state = opt.init(params)
+    for g_lat, g_sc in grad_seq:
+        grads = {
+            "latents": jnp.asarray(g_lat),
+            "affine": {"scale": jnp.asarray(g_sc)},
+        }
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    # fp32 noise between the equivalent bias-correction formulations
+    # (optax folds 1/(1−β₁ᵗ) into m̂; torch scales the step size) reaches
+    # ~5e-6 after 20 steps — tolerance sits just above that.
+    np.testing.assert_allclose(
+        np.asarray(params["latents"]), p_lat.detach().numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["affine"]["scale"]), p_sc.detach().numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
