@@ -8,20 +8,34 @@ l1+l2 anchor losses), TAESD decode path, bf16 — and prints ONE JSON line:
      "vs_baseline": R, ...}
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
-ratio to REFERENCE_FRAMES_PER_SEC, a provisional estimate of the reference
-pipeline's single-GPU throughput at the same config (3 s/frame class; update
-when a measured number lands in BASELINE.md).
+ratio to REFERENCE_FRAMES_PER_SEC, a *provisional estimate* of the reference
+pipeline's single-GPU throughput at the same config (3 s/frame class; the
+reference cannot run here — CUDA-only. Replace when a measured number lands
+in BASELINE.md). Every quoted vs_baseline carries that asterisk.
+
+Provenance fields (so a cold reader can interpret the capture, VERDICT r2):
+``git_commit``, ``conv3x3_kernel`` (fused Pallas conv engaged?),
+``fwd_streams``/``bwd_streams`` (flash kernel body config),
+``compile_cache`` (hit/miss inferred from new cache-dir entries),
+``compile_plus_first_s`` (first call: compile/deserialize + one full run),
+``frame_times_s`` (whole-program wall time per frame — NOT per DDIM step),
+``device_step_ms`` (profiler-trace device time per DDIM step, when the
+trace tooling is available; wall clock over the remote tunnel includes
+host↔device sync overhead that the trace excludes).
 
 Env knobs: BENCH_STEPS (default 50), BENCH_BATCH (default 1),
 BENCH_REPEATS (default 3), BENCH_RES (default 768), BENCH_FAST=1
 (fast-guidance mode: skip the UNet backward — NOT the parity config; the
-headline stays full-parity gradients).
+headline stays full-parity gradients), BENCH_TRACE=0 (skip the profiler
+pass).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import subprocess
 import time
 
 import numpy as np
@@ -29,6 +43,71 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dct_xla_cache")
 
 REFERENCE_FRAMES_PER_SEC = 0.33  # provisional; see BASELINE.md
+
+
+def _git_commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _cache_entries() -> set[str]:
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    try:
+        return set(os.listdir(d)) if d and os.path.isdir(d) else set()
+    except OSError:
+        return set()
+
+
+def _trace_device_step_ms(fn, args, steps: int) -> float | None:
+    """One traced run; returns summed device-event time / steps (ms), or None
+    if the trace tooling is unavailable (e.g. no tensorboard profile plugin).
+    """
+    import gzip
+
+    import jax
+    import jax.numpy as jnp
+
+    logdir = "/tmp/dct_bench_trace"
+    try:
+        with jax.profiler.trace(logdir):
+            denses, _ = fn(*args)
+            float(jnp.sum(denses))  # sync (block_until_ready no-ops on tunnel)
+            time.sleep(0.3)
+        paths = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
+        if paths:
+            with gzip.open(paths[-1], "rt") as f:
+                events = json.load(f)["traceEvents"]
+        else:
+            from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+            xplanes = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
+            if not xplanes:
+                return None
+            data, _ = rtd.xspace_to_tool_data(xplanes[-1:], "trace_viewer", {})
+            events = json.loads(data)["traceEvents"]
+        pid_names = {}
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev["args"].get("name", "")
+        total_us = 0.0
+        for ev in events:
+            if ev.get("ph") != "X":
+                continue
+            pname = pid_names.get(ev.get("pid"), "")
+            if "TPU" not in pname and "Chip" not in pname:
+                continue
+            total_us += ev.get("dur", 0)
+        if total_us <= 0:
+            return None
+        return total_us / 1e3 / steps
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -41,6 +120,8 @@ def main() -> None:
 
     from depth_completion_tpu.models import registry
     from depth_completion_tpu.models.bundle import make_random_bundle
+    from depth_completion_tpu.ops import conv3x3
+    from depth_completion_tpu.ops import flash_attention as fa
     from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
 
     steps = int(os.environ.get("BENCH_STEPS", "50"))
@@ -48,6 +129,7 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     res = int(os.environ.get("BENCH_RES", "768"))
     fast = os.environ.get("BENCH_FAST", "0") == "1"
+    do_trace = os.environ.get("BENCH_TRACE", "1") == "1"
 
     bundle = make_random_bundle(
         seed=0,
@@ -88,9 +170,11 @@ def main() -> None:
         denses, _ = fn(bundle, images_d, sparse_d, cfg)
         return float(jnp.sum(denses))
 
+    cache_before = _cache_entries()
     t0 = time.time()
     checksum = run_sync()
     compile_and_first = time.time() - t0
+    cache_state = "miss" if _cache_entries() - cache_before else "hit"
 
     times = []
     for _ in range(repeats):
@@ -98,6 +182,12 @@ def main() -> None:
         checksum = run_sync()
         times.append(time.time() - t0)
     del checksum
+
+    device_step_ms = (
+        _trace_device_step_ms(fn, (bundle, images_d, sparse_d, cfg), steps)
+        if do_trace
+        else None
+    )
 
     best = min(times)
     fps = batch / best
@@ -107,14 +197,29 @@ def main() -> None:
         "metric": "frames_per_sec_per_chip",
         "value": round(fps_per_chip, 4),
         "unit": "frames/s",
+        # vs an ASSUMED 0.33 f/s reference figure (BASELINE.md) — the
+        # reference itself cannot run in this CUDA-less environment.
         "vs_baseline": round(fps_per_chip / REFERENCE_FRAMES_PER_SEC, 3),
+        "baseline_provisional": True,
         "config": f"{steps}-step DDIM guided, res {res}, batch {batch}, bf16, "
         f"taesd{', fast-guidance' if fast else ''}",
         "backend": jax.default_backend(),
         "devices": n_chips,
-        "compile_s": round(compile_and_first, 1),
-        "step_times_s": [round(t, 3) for t in times],
+        "git_commit": _git_commit(),
+        "conv3x3_kernel": conv3x3.enabled(),
+        "fwd_streams": fa.FWD_STREAMS,
+        "bwd_streams": fa.BWD_STREAMS,
+        "compile_cache": cache_state,
+        # first call = compile (or cache deserialize) + one full run
+        "compile_plus_first_s": round(compile_and_first, 1),
+        # whole-program wall time per FRAME (50 DDIM steps each), incl.
+        # tunnel sync — not per-step times
+        "frame_times_s": [round(t, 3) for t in times],
     }
+    if device_step_ms is not None:
+        # device-event time per DDIM step from a profiler trace (excludes
+        # host/tunnel overhead; the honest per-step device cost)
+        result["device_step_ms"] = round(device_step_ms, 2)
     print(json.dumps(result))
 
 

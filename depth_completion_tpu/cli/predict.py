@@ -375,7 +375,15 @@ def run_predict(
         )
     # Multi-device: shard the bundle over a (data, model) mesh. Frames and
     # ensemble members ride the data axis; the batch is padded to it.
-    n_devices = jax.device_count()
+    # Under multihost with per-host work sharding (--num-shards > 1) each
+    # process runs DISJOINT frames, so compute stays on local devices (the
+    # distributed runtime is still required on pods to enumerate them);
+    # without work sharding all processes cooperate on one global mesh.
+    if multihost and num_shards > 1:
+        mesh_devices = jax.local_devices()
+    else:
+        mesh_devices = jax.devices()
+    n_devices = len(mesh_devices)
     mesh = None
     if n_devices > 1 or mesh_model > 1:
         import math
@@ -400,7 +408,7 @@ def run_predict(
             )
         mesh = make_mesh(
             MeshSpec(data=data_axis, model=mesh_model),
-            devices=jax.devices()[: data_axis * mesh_model],
+            devices=mesh_devices[: data_axis * mesh_model],
         )
         bundle = shard_bundle(mesh, bundle, tensor_parallel=mesh_model > 1)
         logger.info(f"Mesh: data={data_axis} x model={mesh_model}")

@@ -19,25 +19,60 @@ import jax
 from depth_completion_tpu.logger import logger
 
 
+import os
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    initialization_timeout: int | None = None,
 ) -> None:
-    """Join the multi-host runtime; no-op when already initialized or
-    single-process."""
+    """Join the multi-host runtime.
+
+    Coordinator info comes from the arguments or, when absent, from the
+    ``DCT_COORDINATOR_ADDRESS`` / ``DCT_NUM_PROCESSES`` / ``DCT_PROCESS_ID``
+    environment (generic clusters without TPU/Slurm/MPI autodetection —
+    jax.distributed reads no such env itself).
+
+    Autodetect path (no explicit coordinator anywhere): failures degrade to
+    single-process with a debug log — the common case of ``--multihost`` on
+    a single machine. When a coordinator IS explicitly configured, a failed
+    ``jax.distributed.initialize`` raises instead of silently running
+    single-process against a misconfigured pod — a silent degradation
+    would shard the work while every worker believes it is worker 0/1.
+    Already-initialized runtimes are always a no-op.
+    """
+    if jax.distributed.is_initialized():
+        logger.debug("jax.distributed already initialized")
+        return
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("DCT_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("DCT_NUM_PROCESSES"):
+        num_processes = int(os.environ["DCT_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("DCT_PROCESS_ID"):
+        process_id = int(os.environ["DCT_PROCESS_ID"])
+    if initialization_timeout is None:
+        initialization_timeout = int(os.environ.get("DCT_INIT_TIMEOUT", "300"))
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            initialization_timeout=initialization_timeout,
         )
         logger.info(
             f"distributed: process {jax.process_index()}/{jax.process_count()}, "
             f"{jax.local_device_count()} local / {jax.device_count()} global devices"
         )
     except (RuntimeError, ValueError) as e:
-        # already initialized, or single-process run without coordinator info
+        if explicit:
+            raise RuntimeError(
+                "jax.distributed.initialize failed with an explicitly "
+                f"configured coordinator ({coordinator_address}): {e}"
+            ) from e
+        # single-process run without coordinator info
         logger.debug(f"jax.distributed.initialize skipped: {e}")
 
 

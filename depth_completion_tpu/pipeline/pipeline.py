@@ -87,7 +87,20 @@ class DepthCompletionPipeline:
         # with zero valid sparse points would flow ±inf through range
         # estimation; the reference's masked_minmax raises a clear ValueError.
         # One cheap host-side reduction per batch, outside the jitted program.
-        rows_valid = np.asarray(jnp.any(sparses > 0, axis=(1, 2, 3)))
+        # Pure numpy on the host copy: under a multi-process runtime, eager
+        # jnp ops dispatch to the global default device (non-addressable on
+        # secondary processes), so device reductions cannot be fetched here.
+        if not isinstance(sparses, jax.Array) or sparses.is_fully_addressable:
+            rows_valid = np.asarray(sparses).any(axis=(1, 2, 3))
+        else:
+            # globally-sharded input: gather the per-row validity bits
+            from jax.experimental import multihost_utils
+
+            rows_valid = np.asarray(
+                multihost_utils.process_allgather(
+                    jnp.any(sparses > 0, axis=(1, 2, 3)), tiled=True
+                )
+            ).reshape(-1)[: sparses.shape[0]]
         if not rows_valid.all():
             raise ValueError(
                 "No valid values found in mask for some positions. Ensure "
