@@ -65,7 +65,12 @@ FUSED_BWD = True
 # round-trip (written by the kernel, summed in f32 right after): bf16 halves
 # that traffic (~128 MB/step at smoke geometry) at ~0.4% relative noise on
 # dq — the same precision class as the bf16 dk/dv outputs.
-DQ_PARTIALS_DTYPE = jnp.bfloat16
+# Overridable via DCT_DQ_PARTIALS=f32|bf16 for full-program A/Bs.
+DQ_PARTIALS_DTYPE = (
+    jnp.float32
+    if os.environ.get("DCT_DQ_PARTIALS", "bf16") == "f32"
+    else jnp.bfloat16
+)
 
 # Independent q-block streams per forward kernel body. The body's dataflow
 # (QK dot → online softmax → PV dot) is a strict MXU→VPU→MXU dependency
@@ -407,6 +412,55 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, bwd_block_q, bwd_block_k, kv
     return o, (q, k, v, o, mhat)
 
 
+def _fused_bwd_call(q, k, v, do, mhat, o, sm_scale, block_q, block_k, kv_len):
+    """One-pass fused backward over padded [BH, S, D] operands →
+    (dk, dv, dq). Shared by the custom_vjp below and the ring backward
+    (ops/ring_attention.py), where per-visiting-block calls accumulate."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    nk = sk // block_k
+    streams = BWD_STREAMS if sq % (BWD_STREAMS * block_q) == 0 else 1
+    rows = streams * block_q
+    fused = functools.partial(
+        _bwd_fused_kernel,
+        sm_scale=sm_scale, kv_len=kv_len, block_k=block_k,
+        num_q_blocks=sq // rows,
+        mask_tail=sk != kv_len, block_q=block_q, streams=streams,
+    )
+    dk, dv, dq_partial = pl.pallas_call(
+        fused,
+        grid=(bh, nk, sq // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, rows, _LANES), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, 1, rows, d), lambda b, ki, qi: (ki, b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+            jax.ShapeDtypeStruct((nk, bh, sq, d), DQ_PARTIALS_DTYPE),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, mhat, o)
+    dq = jnp.sum(dq_partial, axis=0, dtype=jnp.float32).astype(q.dtype)
+    return dk, dv, dq
+
+
 def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res, do):
     q, k, v, o, mhat = res
     bh, sq, d = q.shape
@@ -415,45 +469,9 @@ def _flash_bwd(sm_scale, fwd_block_q, fwd_block_k, block_q, block_k, kv_len, res
     nq, nk = sq // block_q, sk // block_k
 
     if FUSED_BWD:
-        streams = BWD_STREAMS if sq % (BWD_STREAMS * block_q) == 0 else 1
-        rows = streams * block_q
-        fused = functools.partial(
-            _bwd_fused_kernel,
-            sm_scale=sm_scale, kv_len=kv_len, block_k=block_k,
-            num_q_blocks=sq // rows,
-            mask_tail=sk != kv_len, block_q=block_q, streams=streams,
+        dk, dv, dq = _fused_bwd_call(
+            q, k, v, do, mhat, o, sm_scale, block_q, block_k, kv_len
         )
-        dk, dv, dq_partial = pl.pallas_call(
-            fused,
-            grid=(bh, nk, sq // rows),
-            in_specs=[
-                pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-                pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
-                pl.BlockSpec((1, rows, _LANES), lambda b, ki, qi: (b, qi, 0)),
-                pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-                pl.BlockSpec((1, 1, rows, d), lambda b, ki, qi: (ki, b, qi, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
-                jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
-                jax.ShapeDtypeStruct((nk, bh, sq, d), DQ_PARTIALS_DTYPE),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((block_k, d), jnp.float32),
-                pltpu.VMEM((block_k, d), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-            ),
-            interpret=INTERPRET,
-        )(q, k, v, do, mhat, o)
-        dq = jnp.sum(dq_partial, axis=0, dtype=jnp.float32).astype(q.dtype)
         return dq, dk, dv
 
     dkv_kernel = functools.partial(

@@ -398,18 +398,16 @@ def guided_sample(
 
     # ----- per-step guided training (THE hot path) -----------------------
     elif cfg.train_method == "per-step":
-        opt = make_optimizer(cfg.opt, cfg.lr_latent, cfg.lr_scaling)
+        from depth_completion_tpu.ops import guidance_epilogue as ge
+
         params = {"latents": pred_latents}
         if not closed_form:
             params["affine"] = {
                 "scale": jnp.ones((n, 1, 1, 1), jnp.float32),
                 "shift": jnp.zeros((n, 1, 1, 1), jnp.float32),
             }
-        opt_state = opt.init(params)
 
-        def step_body(carry, t):
-            params, opt_state = carry
-
+        def loss_and_grads(params, t):
             def loss_fn(p):
                 lat = p["latents"]
                 out = unet_eps(lat, t)
@@ -422,31 +420,89 @@ def guided_sample(
                 )
                 return jnp.sum(losses), out
 
-            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
-            # ε-norm gradient rescale, per sample, latent grads only
-            # (reference marigold_dc.py:879-894).
-            eps_ref = pred_epsilon(sched, out, t, params["latents"])
-            eps_norm = jnp.linalg.norm(
-                eps_ref.reshape(n, -1).astype(jnp.float32), axis=1
-            )
-            g = grads["latents"].astype(jnp.float32)
-            g_norm = jnp.linalg.norm(g.reshape(n, -1), axis=1)
-            factors = (eps_norm / jnp.maximum(g_norm, EPSILON)).reshape(n, 1, 1, 1)
-            grads["latents"] = g * factors
-
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-
-            # DDIM transition: old ε̂ on the *updated* latent
-            # (reference marigold_dc.py:899-904).
-            new_lat, _ = ddim_step(sched, out, t, params["latents"], cfg.steps)
-            params["latents"] = new_lat
-            return (params, opt_state), None
-
-        (params, _), _ = jax.lax.scan(
-            step_body, (params, opt_state), jnp.asarray(ts)
+        # Fused Pallas epilogue (ε-rescale + Adam + DDIM in one kernel,
+        # ops/guidance_epilogue.py) for the Marigold configuration; any
+        # other optimizer/scheduler takes the general optax chain below.
+        use_fused = (
+            cfg.opt == "adam"
+            and ge.enabled()
+            and sched.config.prediction_type in ("v_prediction", "epsilon")
+            and not sched.config.clip_sample
         )
+        if use_fused:
+            aff_opt = (
+                optax.adam(cfg.lr_scaling, b1=0.9, b2=0.999, eps=1e-8)
+                if not closed_form
+                else None
+            )
+            aff_state = aff_opt.init(params["affine"]) if aff_opt else None
+            carry0 = (
+                params,
+                aff_state,
+                jnp.zeros_like(pred_latents),  # Adam m
+                jnp.zeros_like(pred_latents),  # Adam v
+                jnp.zeros((), jnp.int32),  # Adam step count
+            )
+
+            def step_body(carry, t):
+                params, aff_state, m, v, count = carry
+                (_, out), grads = loss_and_grads(params, t)
+                if aff_opt is not None:
+                    upd, aff_state = aff_opt.update(
+                        grads["affine"], aff_state, params["affine"]
+                    )
+                    params["affine"] = optax.apply_updates(
+                        params["affine"], upd
+                    )
+                new_lat, m, v, count = ge.guided_epilogue(
+                    params["latents"],
+                    grads["latents"],
+                    out,
+                    m, v, count,
+                    sched, t, cfg.steps,
+                    lr=cfg.lr_latent,
+                )
+                params["latents"] = new_lat
+                return (params, aff_state, m, v, count), None
+
+            (params, *_), _ = jax.lax.scan(step_body, carry0, jnp.asarray(ts))
+        else:
+            opt = make_optimizer(cfg.opt, cfg.lr_latent, cfg.lr_scaling)
+            opt_state = opt.init(params)
+
+            def step_body(carry, t):
+                params, opt_state = carry
+                (_, out), grads = loss_and_grads(params, t)
+
+                # ε-norm gradient rescale, per sample, latent grads only
+                # (reference marigold_dc.py:879-894).
+                eps_ref = pred_epsilon(sched, out, t, params["latents"])
+                eps_norm = jnp.linalg.norm(
+                    eps_ref.reshape(n, -1).astype(jnp.float32), axis=1
+                )
+                g = grads["latents"].astype(jnp.float32)
+                g_norm = jnp.linalg.norm(g.reshape(n, -1), axis=1)
+                factors = (
+                    eps_norm / jnp.maximum(g_norm, EPSILON)
+                ).reshape(n, 1, 1, 1)
+                grads["latents"] = g * factors
+
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+
+                # DDIM transition: old ε̂ on the *updated* latent
+                # (reference marigold_dc.py:899-904).
+                new_lat, _ = ddim_step(
+                    sched, out, t, params["latents"], cfg.steps
+                )
+                params["latents"] = new_lat
+                return (params, opt_state), None
+
+            (params, _), _ = jax.lax.scan(
+                step_body, (params, opt_state), jnp.asarray(ts)
+            )
         final_latents = params["latents"]
         affine_params = params.get("affine")
 
