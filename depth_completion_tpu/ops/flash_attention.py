@@ -51,7 +51,12 @@ _LANES = 128
 # per-element multiply, on every [block_q, block_k] tile. The saved row
 # maxima (m) are therefore log2-domain — a private contract between the
 # paired fwd/bwd kernels (residuals never leave the custom_vjp).
-_LOG2E = 1.4426950408889634
+# DCT_EXP_DOMAIN=exp lets full-program A/Bs fall back to the natural-exp
+# softmax (scores unscaled by log2e, stats in ln-domain).
+EXP2_DOMAIN = os.environ.get("DCT_EXP_DOMAIN", "exp2") == "exp2"
+_LOG2E = 1.4426950408889634 if EXP2_DOMAIN else 1.0
+_exp = jnp.exp2 if EXP2_DOMAIN else jnp.exp
+_log = jnp.log2 if EXP2_DOMAIN else jnp.log
 
 # Test hook: run kernels in the Pallas interpreter (CPU) instead of Mosaic.
 INTERPRET = False
@@ -100,14 +105,19 @@ def _next_multiple(x: int, m: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _mask_tail(s, ki, block_k, kv_len, mask_tail):
-    """Mask padded KV columns — only on blocks that actually contain them.
+# Tail-masking strategy: "always" masks every block unconditionally;
+# "cond" gates the iota+compare+select behind a per-block lax.cond.
+# "cond" looked cheaper on paper (skips 3 VPU passes on bulk blocks) but a
+# branch in the kernel body defeats Mosaic's scheduling/pipelining and cost
+# ~9 ms/step at full-program level — the root cause of the BENCH_r02
+# regression (PERF.md round-3: 0.336 → 0.417 f/s from this one default).
+# Overridable via DCT_MASK_TAIL for A/Bs.
+MASK_STRATEGY = os.environ.get("DCT_MASK_TAIL", "always")
 
-    Padding lives at the tail of the KV axis, so the iota+compare+select
-    (three full VPU passes over the [block_q, block_k] tile) is skipped
-    entirely when the sequence is block-aligned (``mask_tail=False``,
-    static) and gated behind a per-block branch otherwise.
-    """
+
+def _mask_tail(s, ki, block_k, kv_len, mask_tail):
+    """Mask padded KV columns (skipped entirely for block-aligned
+    sequences, ``mask_tail=False``, static)."""
     if not mask_tail:
         return s
 
@@ -115,6 +125,8 @@ def _mask_tail(s, ki, block_k, kv_len, mask_tail):
         col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + ki * block_k
         return jnp.where(col < kv_len, x, MASK_VALUE)
 
+    if MASK_STRATEGY == "always":
+        return masked(s)
     return jax.lax.cond((ki + 1) * block_k > kv_len, masked, lambda x: x, s)
 
 
@@ -149,8 +161,8 @@ def _fwd_kernel(
         l_prev = l_scr[rows]
         m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, LANES]
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next[:, :1])  # [block_q, block_k]
+        alpha = _exp(m_prev - m_next)
+        p = _exp(s - m_next[:, :1])  # [block_q, block_k]
         l_corr = alpha * l_prev
         l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
 
@@ -172,7 +184,7 @@ def _fwd_kernel(
         # both live in VMEM — one stats tensor to HBM instead of two, and
         # the bwd kernels re-read row stats once per KV block.
         mhat_ref[0] = m_scr[...] + jnp.where(
-            l_final == 0.0, 0.0, jnp.log2(l_final)
+            l_final == 0.0, 0.0, _log(l_final)
         )
 
 
@@ -259,7 +271,7 @@ def _bwd_dkv_kernel(
     s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
     # p = exp2(s − m̂) — the 1/l normalizer is folded into m̂ by the fwd:
     # one exp2, no extra full-tile multiply (log2-domain fwd contract).
-    p = jnp.exp2(s - mhat)  # [block_q, block_k]
+    p = _exp(s - mhat)  # [block_q, block_k]
 
     # dv += p^T @ do
     dv_scr[...] += jax.lax.dot_general(
@@ -328,7 +340,7 @@ def _bwd_fused_kernel(
         s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
         # p = exp2(s − m̂) — the 1/l normalizer is folded into m̂ by the
         # fwd: one exp2, no extra full-tile multiply (log2-domain contract).
-        p = jnp.exp2(s - mhat)  # [block_q, block_k]
+        p = _exp(s - mhat)  # [block_q, block_k]
 
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -381,7 +393,7 @@ def _bwd_dq_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (sm_scale * _LOG2E)
     s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
-    p = jnp.exp2(s - mhat)
+    p = _exp(s - mhat)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )

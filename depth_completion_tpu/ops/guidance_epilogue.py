@@ -45,8 +45,13 @@ INTERPRET = False
 
 
 def enabled() -> bool:
-    """Fused epilogue engaged? (TPU backend, unless DCT_EPILOGUE overrides)."""
-    mode = os.environ.get("DCT_EPILOGUE", "auto")
+    """Fused epilogue engaged? Default OFF: the first on-device measurement
+    (v5e, 2026-08-19, BENCH_r03 A/B) showed the fused path COSTS ~8 ms/step
+    at smoke geometry instead of saving — the single-grid-point kernel plus
+    the [N,EH,EW,4]→[N,R,128] relayouts lose more than the small-op chain
+    it replaces. Kept behind DCT_EPILOGUE=on for further kernel work; the
+    optax chain remains the production path (see PERF.md round-3)."""
+    mode = os.environ.get("DCT_EPILOGUE", "off")
     if mode == "off":
         return False
     if mode == "on":

@@ -147,8 +147,8 @@ def _make_flash_ring(num_heads: int, axis_name: str, sm_scale: float):
             o_b, mhat_b = fa._fwd(qh, k_blk, v_blk, sm_scale, bq, bk, s_loc)
             mhat_b = mhat_b[:, :, :1]  # lane-replicated → [BH, S, 1]
             m_new = jnp.maximum(m, mhat_b)
-            scale_old = jnp.exp2(m - m_new)
-            scale_b = jnp.exp2(mhat_b - m_new)
+            scale_old = fa._exp(m - m_new)
+            scale_b = fa._exp(mhat_b - m_new)
             acc_new = acc * scale_old + o_b.astype(jnp.float32) * scale_b
             w_new = w * scale_old + scale_b
             perm = [(i, (i + 1) % p) for i in range(p)]
@@ -160,7 +160,7 @@ def _make_flash_ring(num_heads: int, axis_name: str, sm_scale: float):
             step, (m0, w0, acc0, kh, vh), None, length=p
         )
         o_h = (acc / jnp.maximum(w, 1e-30)).astype(q.dtype)
-        mhat_glob = m + jnp.log2(jnp.maximum(w, 1e-30))  # [BH, S, 1]
+        mhat_glob = m + fa._log(jnp.maximum(w, 1e-30))  # [BH, S, 1]
         out = merge_heads(o_h, n, s_loc, c)
         return out, (qh, kh, vh, o_h, mhat_glob, (n, s_loc, c))
 
