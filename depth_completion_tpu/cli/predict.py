@@ -765,6 +765,14 @@ def run_predict(
         prefetcher.shutdown(wait=True)
         progbar.close()
         logger.success(f"Finished processing {dataset_dir.name}")
+    # Device-memory high-water mark (TPU PJRT exposes it; absent on CPU).
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            logger.info(f"HBM high-water: {peak / 2**30:.2f} GiB")
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
     logger.success(f"Finished processing all {len(dataset_dirs):,} datasets")
 
 

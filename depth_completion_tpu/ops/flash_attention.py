@@ -554,6 +554,15 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # Public entry: [N, S, C] multi-head interface matching layers.attention
 # ---------------------------------------------------------------------------
 
+# Optional global block-shape override ("bq,bk,bbq,bbk") for full-program
+# sweeps, e.g. DCT_FLASH_BLOCKS=512,768,512,768 makes S=6912 (= 9*768)
+# block-aligned with zero padding.
+_BLOCKS_ENV = os.environ.get("DCT_FLASH_BLOCKS", "")
+_BLOCKS_OVERRIDE = (
+    tuple(int(x) for x in _BLOCKS_ENV.split(",")) if _BLOCKS_ENV else None
+)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -584,6 +593,8 @@ def flash_attention(
     if d % _LANES != 0 and d != 64:
         return xla_attention(q, k, v, num_heads)
 
+    if _BLOCKS_OVERRIDE is not None:
+        block_q, block_k, bwd_block_q, bwd_block_k = _BLOCKS_OVERRIDE
     sm_scale = 1.0 / math.sqrt(d)
     bq = min(block_q, _next_multiple(sq, _LANES))
     bk = min(block_k, _next_multiple(sk, _LANES))
