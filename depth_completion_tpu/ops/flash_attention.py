@@ -91,9 +91,11 @@ FWD_STREAMS = int(os.environ.get("DCT_FWD_STREAMS", "2"))
 
 # Same idea for the fused backward body (two independent q-row streams per
 # instance; only the dk/dv scratch accumulate serializes between them).
-# VMEM note: two streams hold two score/p/ds/dp tile sets — prefer
-# bwd blocks <= (512,512) when enabling. Fits at the shipped defaults
-# (verified on v5e at stage-0 geometry).
+# VMEM: two streams hold two score/p/ds/dp tile sets; verified to fit on
+# v5e at the shipped (512,1024) blocks for BOTH production geometries —
+# UNet stage-0 (d=64) and the KL VAE mid-attention (heads=1, d=512;
+# scripts/exp_vae_flash_vmem.py sweep 2026-08-19, all configs compile,
+# streams=2 fastest at 55.3 ms/call fwd+bwd, S=6912).
 BWD_STREAMS = int(os.environ.get("DCT_BWD_STREAMS", "2"))
 
 
@@ -172,13 +174,19 @@ def _fwd_kernel(
         o_curr = jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )  # [block_q, d]
-        acc_scr[rows] = acc_scr[rows] * alpha[:, :d_acc] + o_curr
+        # alpha is lane-replicated [block_q, LANES]; slice to d lanes when
+        # d ≤ LANES, lane-broadcast from one column when d > LANES (the
+        # KL VAE's single-head d=512 geometry).
+        alpha_d = alpha[:, :d_acc] if d_acc <= _LANES else alpha[:, :1]
+        acc_scr[rows] = acc_scr[rows] * alpha_d + o_curr
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
         l_final = l_scr[...]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
-        o_ref[0] = (acc_scr[...] * l_inv[:, : acc_scr.shape[-1]]).astype(o_ref.dtype)
+        d_out = acc_scr.shape[-1]
+        l_inv_d = l_inv[:, :d_out] if d_out <= _LANES else l_inv[:, :1]
+        o_ref[0] = (acc_scr[...] * l_inv_d).astype(o_ref.dtype)
         # The backward recomputes p as exp2(s − m − log2 l); fold the two
         # row stats into the single residual m̂ = m + log2(l) here, where
         # both live in VMEM — one stats tensor to HBM instead of two, and

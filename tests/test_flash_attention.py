@@ -47,6 +47,37 @@ def test_forward_head_dim_64():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
 
+def test_single_head_d512_vae_geometry():
+    """The KL VAE mid-attention shape class: num_heads=1, head_dim=512
+    (> the 128-lane stat width). Regression test for the lane-slice bug
+    where the fwd kernel sliced its [block_q, 128] alpha/l stats to
+    d=512 lanes and failed to trace — fwd AND grad must match XLA."""
+    q, k, v = _qkv(n=1, s=256, c=512, seed=7)
+    out = fa.flash_attention(
+        q, k, v, num_heads=1, block_q=128, block_k=128,
+        bwd_block_q=128, bwd_block_k=128, min_seq_len=1,
+    )
+    ref = xla_attention(q, k, v, num_heads=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def loss_fa(q, k, v):
+        o = fa.flash_attention(
+            q, k, v, 1, block_q=128, block_k=128,
+            bwd_block_q=128, bwd_block_k=128, min_seq_len=1,
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(xla_attention(q, k, v, 1)))
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fa, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+        )
+
+
 def test_backward_matches_xla():
     q, k, v = _qkv(s=256, c=128)
 
