@@ -95,17 +95,21 @@ def _trace_device_step_ms(fn, args, steps: int) -> float | None:
         for ev in events:
             if ev.get("ph") == "M" and ev.get("name") == "process_name":
                 pid_names[ev["pid"]] = ev["args"].get("name", "")
-        total_us = 0.0
+        # Trace events nest (module → fusion → sub-ops) across several
+        # device tracks, so summing durations overcounts several-fold. The
+        # single longest device event is the jitted module execution — its
+        # span IS the device time for the whole traced frame.
+        longest_us = 0.0
         for ev in events:
             if ev.get("ph") != "X":
                 continue
             pname = pid_names.get(ev.get("pid"), "")
             if "TPU" not in pname and "Chip" not in pname:
                 continue
-            total_us += ev.get("dur", 0)
-        if total_us <= 0:
+            longest_us = max(longest_us, ev.get("dur", 0))
+        if longest_us <= 0:
             return None
-        return total_us / 1e3 / steps
+        return longest_us / 1e3 / steps
     except Exception:
         return None
 
