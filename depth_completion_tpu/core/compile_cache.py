@@ -13,10 +13,44 @@ entry point funnels through here.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from pathlib import Path
 
 DEFAULT_CACHE_DIR = str(Path.home() / ".cache" / "depth_completion_tpu" / "xla")
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's ISA feature set (+ jaxlib version).
+
+    XLA:CPU cache entries are AOT-compiled machine code whose cache key does
+    NOT include the compiling host's CPU features; an entry written on one
+    machine and deserialized on another with a different feature set loads
+    with a "could lead to SIGILL" warning at best and segfaults at worst
+    (observed here: a cache volume carried across VM migrations). Salting
+    the cache directory per host fingerprint makes stale foreign entries
+    unreachable instead of fatal.
+    """
+    try:
+        import jaxlib
+
+        ver = getattr(jaxlib, "__version__", "")
+    except Exception:
+        ver = ""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line.strip()
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha1(
+        f"{platform.machine()}|{ver}|{flags}".encode()
+    ).hexdigest()[:10]
+    return f"host-{digest}"
 
 
 def enable_compile_cache(
@@ -31,9 +65,18 @@ def enable_compile_cache(
     """
     import jax
 
+    if os.environ.get("DCT_NO_COMPILE_CACHE") == "1":
+        # Kill switch (the test suite sets it: XLA:CPU executable
+        # serialize/deserialize segfaults under accumulated process state,
+        # see tests/conftest.py).
+        jax.config.update("jax_compilation_cache_dir", None)
+        return ""
     chosen = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or (
         DEFAULT_CACHE_DIR
     )
+    salt = _host_fingerprint()
+    if os.path.basename(chosen) != salt:  # don't double-salt via env inherit
+        chosen = os.path.join(chosen, salt)
     os.environ["JAX_COMPILATION_CACHE_DIR"] = chosen  # for child processes
     jax.config.update("jax_compilation_cache_dir", chosen)
     jax.config.update(

@@ -1,5 +1,7 @@
 """Core: mesh construction and dtype policy."""
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -64,3 +66,33 @@ def test_logger_file_sink(tmp_path):
     assert "hello-info" in text and "hello-success" in text
     assert "hello-trace" not in text
     logger.configure()  # restore defaults for other tests
+
+
+def test_compile_cache_host_salt(tmp_path, monkeypatch):
+    """Cache dirs are salted per host fingerprint (stale cross-machine
+    XLA:CPU AOT entries segfault/SIGILL on deserialize), idempotently
+    through env-var inheritance, and the DCT_NO_COMPILE_CACHE kill switch
+    disables the cache entirely."""
+    from depth_completion_tpu.core import compile_cache as cc
+
+    monkeypatch.delenv("DCT_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+
+    fp = cc._host_fingerprint()
+    assert fp.startswith("host-") and fp == cc._host_fingerprint()  # stable
+
+    d1 = cc.enable_compile_cache(str(tmp_path / "xla"))
+    assert d1 == str(tmp_path / "xla" / fp)
+    # a child process inheriting JAX_COMPILATION_CACHE_DIR must not re-salt
+    assert os.environ["JAX_COMPILATION_CACHE_DIR"] == d1
+    assert cc.enable_compile_cache() == d1
+
+    monkeypatch.setenv("DCT_NO_COMPILE_CACHE", "1")
+    assert cc.enable_compile_cache(str(tmp_path / "xla")) == ""
+
+    # restore: the suite default is cache off (conftest set the kill switch
+    # before this test ran, and enable_compile_cache mutated live config)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
