@@ -1,0 +1,280 @@
+"""Serving CLI: keep the model warm and answer completion requests.
+
+A production-lifecycle counterpart to the batch `predict` CLI (the
+reference ships only the latter, `/root/reference/predict.py`): load and
+compile once, then serve a stream of requests at steady-state latency
+with same-geometry micro-batching and per-session temporal latent carry.
+
+    python -m depth_completion_tpu.cli.serve --model random --port 8571 \\
+        --warmup 480x640
+
+    curl -s -X POST --data-binary @frame.npz \\
+        'http://127.0.0.1:8571/v1/complete?session=cam0' -o dense.npy
+
+Model/options mirror `predict` (same defaults, same coercion rules,
+reference predict.py:423-457); serving knobs are new. The sampler config
+is fixed for the server's lifetime — every config field is part of the
+XLA program cache key, so per-request config would recompile per request.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Any
+
+import click
+
+from depth_completion_tpu.cli.options import CommaSeparated
+from depth_completion_tpu.logger import LOG_LEVELS, logger
+
+from depth_completion_tpu.cli.predict import SUPPORTED_LOSS_FUNCS
+
+
+def _parse_geometry(value: str) -> tuple[int, int]:
+    try:
+        h, w = value.lower().split("x")
+        return int(h), int(w)
+    except ValueError as exc:
+        raise click.BadParameter(
+            f"geometry must look like 480x640, got {value!r}"
+        ) from exc
+
+
+@click.command(help="Serve depth completion over HTTP with a warm model.")
+@click.option("--model", type=click.Choice(["original", "lcm", "random"]),
+              default="original", show_default=True,
+              help="Marigold model family (see predict --help).")
+@click.option("--checkpoint-dir", type=click.Path(path_type=Path), default=None,
+              help="Local HF-layout checkpoint directory. Required unless "
+              "--model=random.")
+@click.option("--taesd-dir", type=click.Path(path_type=Path), default=None,
+              help="Local TAESD checkpoint directory (for --vae=light).")
+@click.option("--vae", type=click.Choice(["original", "light"]), default="light",
+              show_default=True, help="VAE for decode.")
+@click.option("-n", "--steps", type=click.IntRange(min=1), default=50,
+              show_default=True, help="Denoising steps.")
+@click.option("-r", "--res", type=click.IntRange(min=1), default=768,
+              show_default=True, help="Processing resolution (longest side).")
+@click.option("--norm", type=click.Choice(["const", "minmax", "percentile"]),
+              default="const", show_default=True,
+              help="Sparse-depth normalization method.")
+@click.option("--percentile", type=CommaSeparated(float), default="0.01,0.99",
+              show_default=True, help="Percentile range for --norm=percentile.")
+@click.option("--max-depth", type=click.FloatRange(min=0, min_open=True),
+              default=120.0, show_default=True,
+              help="Max distance [m] of output dense depth maps (fixed for "
+              "the server's lifetime; part of the compiled program).")
+@click.option("--min-depth", type=click.FloatRange(min=0), default=0.0,
+              show_default=True, help="Min distance [m].")
+@click.option("-p", "--precision", type=click.Choice(["bf16", "fp32"]),
+              default="bf16", show_default=True, help="Inference precision.")
+@click.option("--loss-funcs", type=CommaSeparated(str), default="l1,l2",
+              show_default=True, help="Guidance losses: l1, l2, edge, smooth.")
+@click.option("--opt", type=click.Choice(["adam", "sgd", "adagrad"]),
+              default="adam", show_default=True, help="Guidance optimizer.")
+@click.option("--lr-latent", type=click.FloatRange(min=0, min_open=True),
+              default=0.05, show_default=True, help="Latent learning rate.")
+@click.option("--lr-scaling", type=click.FloatRange(min=0, min_open=True),
+              default=0.005, show_default=True, help="Affine learning rate.")
+@click.option("--closed-form", type=bool, default=False, show_default=True,
+              help="Closed-form affine instead of learned.")
+@click.option("--projection", type=click.Choice(["linear", "log", "log10"]),
+              default="linear", show_default=True, help="Depth projection.")
+@click.option("--inv", type=bool, default=False, show_default=True,
+              help="Inverse (disparity) projection.")
+@click.option("--train-latents", type=bool, default=True, show_default=True,
+              help="Optimize latents during sampling.")
+@click.option("--train-method", type=click.Choice(["per-step", "per-input"]),
+              default="per-step", show_default=True, help="Training method.")
+@click.option("--train-steps", type=click.IntRange(min=1), default=10,
+              show_default=True, help="Steps for --train-method=per-input.")
+@click.option("--beta", type=click.FloatRange(min=0, min_open=True), default=0.9,
+              show_default=True,
+              help="Temporal blend weight for session latent carry.")
+@click.option("--fast-guidance", type=bool, default=False, show_default=True,
+              help="Skip the UNet backward in guidance (~2x faster, "
+              "non-parity gradients; see predict --help).")
+@click.option("--host", type=str, default="127.0.0.1", show_default=True,
+              help="Bind address. Use 0.0.0.0 only behind a trusted network.")
+@click.option("--port", type=click.IntRange(min=0), default=8571,
+              show_default=True, help="Bind port (0 picks a free port).")
+@click.option("--max-batch", type=click.IntRange(min=1), default=4,
+              show_default=True,
+              help="Micro-batch size (also the static padded batch; batch 4 "
+              "measured +4.4% throughput over batch 1, PERF.md round-3).")
+@click.option("--max-delay-ms", type=click.FloatRange(min=0), default=25.0,
+              show_default=True,
+              help="How long to wait for same-geometry batchmates.")
+@click.option("--session-ttl", type=click.FloatRange(min=0, min_open=True),
+              default=300.0, show_default=True,
+              help="Idle seconds before a session's carry latent is dropped.")
+@click.option("--warmup", type=CommaSeparated(str), default=None,
+              help="Comma-separated HxW geometries to compile before "
+              "accepting traffic, e.g. 480x640,352x1216.")
+@click.option("--log", type=click.Path(path_type=Path), default=None,
+              show_default=True, help="Path to save logs.")
+@click.option("--log-level", type=click.Choice(LOG_LEVELS), default="INFO",
+              show_default=True, help="Minimum log level.")
+def main(**kw: Any) -> None:
+    run_serve(**kw)
+
+
+def run_serve(
+    model: str,
+    checkpoint_dir: Path | None,
+    taesd_dir: Path | None,
+    vae: str,
+    steps: int,
+    res: int,
+    norm: str,
+    percentile: list[float],
+    max_depth: float,
+    min_depth: float,
+    precision: str,
+    loss_funcs: list[str],
+    opt: str,
+    lr_latent: float,
+    lr_scaling: float,
+    closed_form: bool,
+    projection: str,
+    inv: bool,
+    train_latents: bool,
+    train_method: str,
+    train_steps: int,
+    beta: float,
+    fast_guidance: bool,
+    host: str,
+    port: int,
+    max_batch: int,
+    max_delay_ms: float,
+    session_ttl: float,
+    warmup: list[str] | None,
+    log: Path | None,
+    log_level: str,
+    *,
+    serve_forever: bool = True,
+):
+    """Build the engine + HTTP server. Returns (engine, httpd) when
+    serve_forever=False (used by tests); otherwise blocks."""
+    from depth_completion_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    logger.configure(level=log_level, log_path=log)
+
+    # --- option coercions (same rules as predict, reference predict.py:423-457)
+    loss_funcs = [lf for lf in loss_funcs if lf in SUPPORTED_LOSS_FUNCS] or ["l1", "l2"]
+    if (projection in ("log", "log10") or inv) and norm == "const":
+        logger.error(
+            "norm=const is not allowed when projection=log/log10 or inv=True. "
+            "Falling back to norm=minmax"
+        )
+        norm = "minmax"
+    if model == "lcm" and train_latents:
+        logger.error(
+            "LCM-based model does not support trainable latents. "
+            "Falling back to train_latents=False"
+        )
+        train_latents = False
+    if not train_latents and not closed_form:
+        logger.error(
+            "closed-form solution must be enabled without trainable latents. "
+            "Falling back to closed_form=True"
+        )
+        closed_form = True
+
+    # --- model init (same path as predict) ---
+    import os
+
+    import jax
+
+    from depth_completion_tpu.core import resolve_policy
+    from depth_completion_tpu.models import registry
+    from depth_completion_tpu.models.bundle import load_bundle, make_random_bundle
+    from depth_completion_tpu.pipeline import DepthCompletionPipeline
+
+    dtype = resolve_policy(precision).param_dtype
+    vae_kind = "tiny" if vae == "light" else "kl"
+    if model == "random":
+        logger.warning("Serving with RANDOM weights (smoke-test mode)")
+        if os.environ.get("DCT_RANDOM_MODEL_SIZE") == "tiny":
+            bundle = make_random_bundle(seed=0, vae_kind=vae_kind, dtype=dtype)
+        else:
+            bundle = make_random_bundle(
+                seed=0,
+                unet_config=registry.MARIGOLD_UNET_CONFIG,
+                vae_kind=vae_kind,
+                vae_config=registry.TAESD_CONFIG
+                if vae_kind == "tiny"
+                else registry.SD_VAE_CONFIG,
+                text_config=registry.SD2_TEXT_CONFIG,
+                dtype=dtype,
+            )
+    else:
+        if checkpoint_dir is None:
+            logger.critical(
+                "--checkpoint-dir is required (no network egress to the HF "
+                "hub). Use --model=random for smoke tests."
+            )
+            sys.exit(1)
+        bundle = load_bundle(
+            checkpoint_dir, vae_kind=vae_kind, taesd_dir=taesd_dir, dtype=dtype
+        )
+    pipe = DepthCompletionPipeline(bundle)
+    logger.info(f"Devices: {jax.devices()}")
+
+    from depth_completion_tpu.serving.engine import ServingEngine
+    from depth_completion_tpu.serving.server import make_server
+
+    call_kwargs: dict[str, Any] = dict(
+        max_depth=max_depth,
+        min_depth=min_depth,
+        steps=steps,
+        resolution=res,
+        norm=norm,
+        percentile=tuple(percentile),
+        loss_funcs=tuple(loss_funcs),
+        opt=opt,
+        lr_latent=lr_latent,
+        lr_scaling=lr_scaling,
+        closed_form=closed_form,
+        projection=projection,
+        inv=inv,
+        train_latents=train_latents,
+        train_method=train_method,
+        train_steps=train_steps,
+        scheduler="lcm" if model == "lcm" else "ddim",
+        detach_unet_grad=fast_guidance,
+    )
+    engine = ServingEngine(
+        pipe,
+        call_kwargs,
+        max_batch=max_batch,
+        max_delay_ms=max_delay_ms,
+        session_ttl_s=session_ttl,
+        beta=beta,
+    )
+
+    if warmup:
+        geoms = [_parse_geometry(g) for g in warmup]
+        logger.info(f"Warming up {len(geoms)} geometries: {geoms}")
+        engine.warmup(geoms)
+        logger.success("Warmup complete")
+
+    httpd = make_server(engine, host=host, port=port)
+    bound = httpd.server_address
+    logger.success(f"Serving on http://{bound[0]}:{bound[1]}")
+    if not serve_forever:
+        return engine, httpd
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("Shutting down")
+    finally:
+        httpd.shutdown()
+        engine.shutdown()
+    return None
+
+
+if __name__ == "__main__":
+    main()

@@ -26,11 +26,15 @@ def _host_fingerprint() -> str:
 
     XLA:CPU cache entries are AOT-compiled machine code whose cache key does
     NOT include the compiling host's CPU features; an entry written on one
-    machine and deserialized on another with a different feature set loads
-    with a "could lead to SIGILL" warning at best and segfaults at worst
-    (observed here: a cache volume carried across VM migrations). Salting
-    the cache directory per host fingerprint makes stale foreign entries
-    unreachable instead of fatal.
+    machine and deserialized on another with a different ISA executes
+    illegal instructions (the loader itself warns "could lead to execution
+    errors such as SIGILL"). Salting the cache directory per host
+    fingerprint makes foreign entries unreachable instead of fatal when a
+    cache volume moves between machines. Note: jaxlib 0.9.0's AOT loader
+    prints that warning even for same-host reloads — it compares the saved
+    feature string (which includes compiler tuning pseudo-features like
+    +prefer-no-scatter) against LLVM host detection (which never reports
+    them); same-host reloads are fine despite the noise.
     """
     try:
         import jaxlib

@@ -1,0 +1,279 @@
+"""Serving engine: micro-batching, geometry program cache, session carry.
+
+Design (TPU-first):
+
+- One compute thread owns all device work; HTTP/caller threads only
+  enqueue. JAX dispatch stays single-threaded and the compiled program
+  pipeline stays hot.
+- Same-geometry micro-batching: requests whose frames share (H, W) are
+  stacked and padded to a FIXED batch size by repeating the first row, so
+  each input geometry compiles exactly one XLA program regardless of how
+  many requests arrive together (the same static-batch trick as the
+  predict CLI). Padded rows are computed and discarded — at guided-
+  diffusion cost per frame (~seconds), waiting `max_delay_ms` for
+  batchmates is cheap and batch amortization is measured (+4.4% at
+  batch 4, PERF.md round-3).
+- Sessions: a video stream passes `session=<id>` and the engine carries
+  the previous frame's final latent into the next request
+  (`beta*common_noise + (1-beta)*prev`, reference marigold_dc.py:699-704,
+  predict.py:697-699). Carry requests run unbatched (the carry is a
+  whole-batch input, mirroring the reference's use_prev_latent =>
+  batch_size=1 coercion, predict.py:423-430).
+- The sampler config (steps, resolution, losses, max_depth, ...) is fixed
+  at server construction: every SamplerConfig field is part of the jit
+  cache key, so per-request config would mean per-request recompiles.
+  Requests asking for a different max_depth are rejected up front.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+
+@dataclass
+class ServeRequest:
+    """One depth-completion request (host arrays, NHWC semantics)."""
+
+    image: np.ndarray  # [H,W,3] RGB, 0..255
+    sparse: np.ndarray  # [H,W] or [H,W,1] metric depth, 0 = missing
+    session: str | None = None
+    # filled by the engine:
+    _done: threading.Event = field(default_factory=threading.Event, repr=False)
+    _result: np.ndarray | None = field(default=None, repr=False)
+    _error: Exception | None = field(default=None, repr=False)
+    _enqueued_at: float = 0.0
+    _batch_size: int = 0
+
+    def wait(self, timeout: float | None = None) -> np.ndarray:
+        if not self._done.wait(timeout):
+            raise TimeoutError("depth completion request timed out")
+        if self._error is not None:
+            raise self._error
+        assert self._result is not None
+        return self._result
+
+
+class ServingEngine:
+    """Keeps a DepthCompletionPipeline warm and serves requests.
+
+    Args:
+        pipe: a `DepthCompletionPipeline` (bundle already sharded if a
+            mesh is in play).
+        call_kwargs: fixed sampler kwargs passed to every `pipe(...)` call
+            (steps, resolution, loss_funcs, norm, ... and `max_depth`,
+            which is required).
+        max_batch: micro-batch size; also the static padded batch size.
+        max_delay_ms: how long the batcher waits for same-geometry
+            batchmates after the first request of a batch arrives.
+        session_ttl_s: idle seconds after which a session's carry latent
+            is dropped.
+    """
+
+    def __init__(
+        self,
+        pipe: Any,
+        call_kwargs: dict[str, Any],
+        *,
+        max_batch: int = 4,
+        max_delay_ms: float = 25.0,
+        session_ttl_s: float = 300.0,
+        beta: float | None = None,
+    ) -> None:
+        if "max_depth" not in call_kwargs:
+            raise ValueError("call_kwargs must include max_depth")
+        self.pipe = pipe
+        self.call_kwargs = dict(call_kwargs)
+        self.max_batch = int(max_batch)
+        self.max_delay_ms = float(max_delay_ms)
+        self.session_ttl_s = float(session_ttl_s)
+        if beta is not None:
+            self.call_kwargs["beta"] = float(beta)
+
+        self._queue: queue.Queue[ServeRequest | None] = queue.Queue()
+        self._sessions: dict[str, tuple[np.ndarray, float]] = {}
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "completed": 0,
+            "errors": 0,
+            "batches": 0,
+            "batched_rows": 0,
+            "padded_rows": 0,
+            "compiled_geometries": [],
+        }
+        self._latencies: deque[float] = deque(maxlen=512)
+        self._warm = False
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._worker, name="dct-serving-worker", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------- public
+
+    def submit(self, req: ServeRequest) -> ServeRequest:
+        req.sparse = np.asarray(req.sparse)
+        if req.sparse.ndim == 2:
+            req.sparse = req.sparse[..., None]
+        req.image = np.asarray(req.image)
+        if req.image.ndim != 3 or req.image.shape[-1] != 3:
+            raise ValueError(f"image must be [H,W,3], got {req.image.shape}")
+        if req.sparse.shape[:2] != req.image.shape[:2]:
+            raise ValueError(
+                f"sparse {req.sparse.shape} does not match image "
+                f"{req.image.shape}"
+            )
+        req._enqueued_at = time.monotonic()
+        with self._lock:
+            self._stats["requests"] += 1
+        self._queue.put(req)
+        return req
+
+    def complete(
+        self,
+        image: np.ndarray,
+        sparse: np.ndarray,
+        session: str | None = None,
+        timeout: float | None = None,
+    ) -> np.ndarray:
+        """Synchronous convenience wrapper: submit and wait."""
+        return self.submit(
+            ServeRequest(image=image, sparse=sparse, session=session)
+        ).wait(timeout)
+
+    def warmup(self, geometries: list[tuple[int, int]]) -> None:
+        """Compile (or cache-load) the program for each (H, W) geometry."""
+        rng = np.random.default_rng(0)
+        for h, w in geometries:
+            img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+            sparse = np.zeros((h, w, 1), np.float32)
+            sparse[h // 2, w // 2, 0] = 1.0
+            sparse[h // 4, w // 4, 0] = self.call_kwargs["max_depth"] / 2
+            self.complete(img, sparse)
+        self._warm = True
+
+    @property
+    def warm(self) -> bool:
+        return self._warm
+
+    def stats(self) -> dict[str, Any]:
+        with self._lock:
+            out = dict(self._stats)
+            out["compiled_geometries"] = list(out["compiled_geometries"])
+            lats = sorted(self._latencies)
+            out["sessions_active"] = len(self._sessions)
+        if lats:
+            out["latency_s_p50"] = round(lats[len(lats) // 2], 4)
+            out["latency_s_p95"] = round(lats[int(len(lats) * 0.95)], 4)
+        out["queue_depth"] = self._queue.qsize()
+        return out
+
+    def reset_session(self, session: str) -> bool:
+        with self._lock:
+            return self._sessions.pop(session, None) is not None
+
+    def shutdown(self, timeout: float = 10.0) -> None:
+        self._stop = True
+        self._queue.put(None)
+        self._thread.join(timeout)
+
+    # ------------------------------------------------------------- worker
+
+    def _collect_batch(self, first: ServeRequest) -> list[ServeRequest]:
+        """Greedily gather same-geometry, sessionless batchmates until
+        max_batch or the delay deadline. Session (carry) requests always
+        run alone — the carry latent is a whole-batch input."""
+        batch = [first]
+        if first.session is not None or self.max_batch <= 1:
+            return batch
+        geo = first.image.shape[:2]
+        deadline = time.monotonic() + self.max_delay_ms / 1e3
+        leftovers: list[ServeRequest] = []
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:  # shutdown sentinel: put it back, finish batch
+                self._queue.put(None)
+                break
+            if nxt.session is None and nxt.image.shape[:2] == geo:
+                batch.append(nxt)
+            else:
+                leftovers.append(nxt)
+        for r in leftovers:  # preserve arrival order for the next round
+            self._queue.put(r)
+        return batch
+
+    def _worker(self) -> None:
+        while not self._stop:
+            first = self._queue.get()
+            if first is None:
+                break
+            batch = self._collect_batch(first)
+            try:
+                self._run_batch(batch)
+            except Exception as exc:  # surface to every waiter
+                with self._lock:
+                    self._stats["errors"] += len(batch)
+                for r in batch:
+                    r._error = exc
+                    r._done.set()
+
+    def _run_batch(self, batch: list[ServeRequest]) -> None:
+        n = len(batch)
+        geo = tuple(batch[0].image.shape[:2])
+        images = np.stack([r.image for r in batch]).astype(np.float32)
+        sparses = np.stack([r.sparse for r in batch]).astype(np.float32)
+        # Static batch: pad with row 0 so each geometry is ONE program.
+        pad = self.max_batch - n if batch[0].session is None else 0
+        if pad:
+            images = np.concatenate([images, images[:1].repeat(pad, 0)])
+            sparses = np.concatenate([sparses, sparses[:1].repeat(pad, 0)])
+
+        kwargs = dict(self.call_kwargs)
+        session = batch[0].session
+        if session is not None:
+            now = time.monotonic()
+            with self._lock:
+                held = self._sessions.get(session)
+                if held is not None and now - held[1] > self.session_ttl_s:
+                    held = None
+                    self._sessions.pop(session, None)
+            if held is not None:
+                kwargs["pred_latents_prev"] = held[0]
+
+        denses, latents = self.pipe(images, sparses, **kwargs)
+        denses = np.asarray(denses)[:n]
+
+        if session is not None:
+            with self._lock:
+                self._sessions[session] = (
+                    np.asarray(latents),
+                    time.monotonic(),
+                )
+
+        done_at = time.monotonic()
+        with self._lock:
+            self._stats["completed"] += n
+            self._stats["batches"] += 1
+            self._stats["batched_rows"] += n
+            self._stats["padded_rows"] += pad
+            if geo not in self._stats["compiled_geometries"]:
+                self._stats["compiled_geometries"].append(geo)
+            for r in batch:
+                self._latencies.append(done_at - r._enqueued_at)
+        for i, r in enumerate(batch):
+            r._result = denses[i]
+            r._batch_size = n
+            r._done.set()

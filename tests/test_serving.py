@@ -1,0 +1,217 @@
+"""Serving layer: micro-batching engine + HTTP front end.
+
+Tiny random model on CPU (same smoke geometry as the CLI tests). The
+engine fixture uses a generous batching window so concurrency tests are
+deterministic: requests enqueued back-to-back always coalesce.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from depth_completion_tpu.models.bundle import make_random_bundle
+from depth_completion_tpu.pipeline import DepthCompletionPipeline
+from depth_completion_tpu.serving import ServeRequest, ServingEngine
+from depth_completion_tpu.serving.server import make_server
+
+H, W = 48, 64
+
+
+def _frame(seed: int = 0, h: int = H, w: int = W):
+    rng = np.random.default_rng(seed)
+    image = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+    sparse = np.zeros((h, w, 1), np.float32)
+    idx = rng.choice(h * w, size=40, replace=False)
+    sparse.reshape(-1)[idx] = rng.uniform(2.0, 100.0, 40)
+    return image, sparse
+
+
+CALL_KWARGS = dict(
+    max_depth=120.0,
+    steps=2,
+    resolution=64,
+    norm="const",
+    loss_funcs=("l1", "l2"),
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    bundle = make_random_bundle(seed=0, vae_kind="tiny", dtype=np.float32)
+    eng = ServingEngine(
+        DepthCompletionPipeline(bundle),
+        CALL_KWARGS,
+        max_batch=4,
+        max_delay_ms=1000.0,
+        beta=0.9,
+    )
+    yield eng
+    eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def httpd(engine):
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _post(srv, path: str, body: bytes):
+    import http.client
+
+    host, port = srv.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    conn.request("POST", path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    headers = dict(resp.getheaders())
+    conn.close()
+    return resp.status, data, headers
+
+
+def _get(srv, path: str):
+    import http.client
+
+    host, port = srv.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def _npz_payload(image, sparse) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, image=image, sparse=sparse)
+    return buf.getvalue()
+
+
+def test_engine_micro_batching(engine):
+    """Three back-to-back submissions coalesce into ONE padded batch."""
+    before = engine.stats()
+    reqs = [
+        engine.submit(ServeRequest(image=img, sparse=sp))
+        for img, sp in (_frame(i) for i in range(3))
+    ]
+    outs = [r.wait(timeout=600) for r in reqs]
+    for out in outs:
+        assert out.shape == (H, W, 1) and np.isfinite(out).all()
+    assert not np.allclose(outs[0], outs[1])  # distinct inputs -> distinct rows
+    after = engine.stats()
+    assert after["completed"] - before["completed"] == 3
+    assert after["batches"] - before["batches"] == 1
+    assert after["padded_rows"] - before["padded_rows"] == 1  # 3 -> pad to 4
+    assert (H, W) in [tuple(g) for g in after["compiled_geometries"]]
+
+
+def test_engine_batched_row_matches_solo(engine):
+    """Static-batch padding must not perturb a request's own result: the
+    same frame completed alone (padded 1->4) and inside a full batch of
+    its own copies returns the same depth."""
+    img, sp = _frame(7)
+    solo = engine.complete(img, sp, timeout=600)
+    reqs = [
+        engine.submit(ServeRequest(image=img.copy(), sparse=sp.copy()))
+        for _ in range(4)
+    ]
+    outs = [r.wait(timeout=600) for r in reqs]
+    for out in outs:
+        np.testing.assert_allclose(out, solo, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_session_carry(engine):
+    img, sp = _frame(1)
+    first = engine.complete(img, sp, session="cam0", timeout=600)
+    assert engine.stats()["sessions_active"] >= 1
+    second = engine.complete(img, sp, session="cam0", timeout=600)
+    assert second.shape == first.shape and np.isfinite(second).all()
+    # the carried latent changes the trajectory vs a fresh run
+    fresh = engine.complete(img, sp, timeout=600)
+    assert not np.allclose(second, fresh)
+    assert engine.reset_session("cam0") is True
+    assert engine.reset_session("cam0") is False
+
+
+def test_engine_geometry_isolation(engine):
+    """A second input geometry compiles its own program and both serve."""
+    img, sp = _frame(2, h=W, w=H)  # transposed geometry
+    out = engine.complete(img, sp, timeout=600)
+    assert out.shape == (W, H, 1) and np.isfinite(out).all()
+    geos = [tuple(g) for g in engine.stats()["compiled_geometries"]]
+    assert (H, W) in geos and (W, H) in geos
+
+
+def test_engine_empty_sparse_error(engine):
+    img, sp = _frame(3)
+    with pytest.raises(ValueError, match="No valid values found in mask"):
+        engine.complete(img, np.zeros_like(sp), timeout=600)
+
+
+def test_http_complete_and_health(httpd, engine):
+    status, data = _get(httpd, "/healthz")
+    assert status == 200 and json.loads(data)["status"] == "ok"
+
+    img, sp = _frame(4)
+    status, data, headers = _post(
+        httpd, "/v1/complete", _npz_payload(img, sp)
+    )
+    assert status == 200, data
+    dense = np.load(io.BytesIO(data))
+    assert dense.shape == (H, W, 1) and np.isfinite(dense).all()
+    assert float(headers["X-DCT-Latency-S"]) > 0
+    assert int(headers["X-DCT-Batch-Size"]) >= 1
+
+    status, data = _get(httpd, "/v1/stats")
+    stats = json.loads(data)
+    assert status == 200 and stats["completed"] >= 1
+    assert "latency_s_p50" in stats
+
+
+def test_http_concurrent_requests_batch(httpd, engine):
+    """Concurrent HTTP posts ride one device batch."""
+    results: dict[int, tuple] = {}
+
+    def do(i: int) -> None:
+        img, sp = _frame(10 + i)
+        results[i] = _post(httpd, "/v1/complete", _npz_payload(img, sp))
+
+    threads = [threading.Thread(target=do, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results.values())
+    batch_sizes = [int(r[2]["X-DCT-Batch-Size"]) for r in results.values()]
+    assert max(batch_sizes) >= 2  # at least two coalesced
+
+
+def test_http_session_and_reset(httpd, engine):
+    img, sp = _frame(5)
+    status, _, _ = _post(
+        httpd, "/v1/complete?session=vid1", _npz_payload(img, sp)
+    )
+    assert status == 200
+    status, data, _ = _post(httpd, "/v1/session/vid1/reset", b"")
+    assert status == 200 and json.loads(data)["dropped"] is True
+
+
+def test_http_error_paths(httpd, engine):
+    status, data, _ = _post(httpd, "/v1/complete", b"not an npz")
+    assert status == 400 and b"bad npz" in data
+
+    img, sp = _frame(6)
+    status, data, _ = _post(
+        httpd, "/v1/complete", _npz_payload(img, np.zeros_like(sp))
+    )
+    assert status == 422 and b"No valid values" in data
+
+    status, data = _get(httpd, "/nope")
+    assert status == 404
