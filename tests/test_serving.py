@@ -215,3 +215,20 @@ def test_http_error_paths(httpd, engine):
 
     status, data = _get(httpd, "/nope")
     assert status == 404
+
+
+def test_serve_cli_surface():
+    """The click command parses; geometry parser validates."""
+    import click
+    from click.testing import CliRunner
+
+    from depth_completion_tpu.cli.serve import _parse_geometry, main
+
+    res = CliRunner().invoke(main, ["--help"])
+    assert res.exit_code == 0
+    for flag in ("--max-batch", "--max-delay-ms", "--warmup", "--session-ttl"):
+        assert flag in res.output
+
+    assert _parse_geometry("480x640") == (480, 640)
+    with pytest.raises(click.BadParameter):
+        _parse_geometry("480")
