@@ -164,6 +164,9 @@ def main() -> None:
         norm="const",
         max_depth=120.0,
         detach_unet_grad=fast,
+        # BENCH_REMAT=on|off overrides the auto threshold (batch sweeps:
+        # auto flips remat ON beyond batch 4 at res 768; see PERF.md)
+        remat_unet=os.environ.get("BENCH_REMAT", "auto"),
     )
     fn = jax.jit(guided_sample, static_argnames=("cfg",))
 

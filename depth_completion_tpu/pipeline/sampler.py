@@ -344,8 +344,16 @@ def guided_sample(
         # rematerialize UNet stages to bound activation memory
         eh, ew = img_latents.shape[1], img_latents.shape[2]
         remat_unet = n * eh * ew > 4 * 96 * 96
+    elif isinstance(cfg.remat_unet, bool):
+        remat_unet = cfg.remat_unet
+    elif cfg.remat_unet in ("on", "off"):
+        # NB not bool(str): bool("off") is True — that bug shipped once
+        remat_unet = cfg.remat_unet == "on"
     else:
-        remat_unet = bool(cfg.remat_unet)
+        raise ValueError(
+            f"remat_unet must be 'auto'/'on'/'off' or bool, got "
+            f"{cfg.remat_unet!r}"
+        )
 
     def unet_eps(latents, t):
         x = jnp.concatenate(

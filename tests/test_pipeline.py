@@ -206,3 +206,38 @@ def test_prev_latent_shape_validation(pipe, inputs):
             pred_latents_prev=np.zeros((1, 4, 4, 4), np.float32),
             **COMMON,
         )
+
+
+def test_remat_unet_string_values_resolve():
+    """'off' must disable remat ('on'/'off' were both truthy strings once:
+    bool('off') is True); unknown values raise. Verified by comparing the
+    lowered HLO: remat inserts checkpoint regions, so on != off."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from depth_completion_tpu.models.bundle import make_random_bundle
+    from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
+
+    bundle = make_random_bundle(seed=0)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 255, (1, 32, 48, 3)).astype(np.float32))
+    sparse = np.zeros((1, 32, 48, 1), np.float32)
+    sparse[0, 8, 8, 0] = 5.0
+    sparse = jnp.asarray(sparse)
+
+    def lowered(remat):
+        cfg = SamplerConfig(
+            steps=1, resolution=64, max_depth=120.0, remat_unet=remat
+        )
+        return jax.jit(guided_sample, static_argnames=("cfg",)).lower(
+            bundle, images, sparse, cfg
+        ).as_text()
+
+    on, off = lowered("on"), lowered("off")
+    assert on != off  # remat changes the program
+    assert off == lowered(False) and on == lowered(True)
+
+    with pytest.raises(ValueError, match="remat_unet must be"):
+        lowered("never")
