@@ -23,9 +23,10 @@ Provenance fields (so a cold reader can interpret the capture, VERDICT r2):
 trace tooling is available; wall clock over the remote tunnel includes
 host↔device sync overhead that the trace excludes).
 
-Env knobs: BENCH_STEPS (default 50), BENCH_BATCH (default 4 — the batch
-amortizes per-step fixed overhead; measured 0.4358 f/s/chip at batch 4 vs
-0.4174 at batch 1 on v5e, see PERF.md round-3 batch sweep),
+Env knobs: BENCH_STEPS (default 50), BENCH_BATCH (default 8 — the batch
+amortizes per-step fixed overhead and fits v5e HBM without remat;
+measured 0.4674 f/s/chip at batch 8 vs 0.4358 at batch 4 and 0.4174 at
+batch 1, see PERF.md round-3 batch/remat sweep),
 BENCH_REPEATS (default 3), BENCH_RES (default 768), BENCH_FAST=1
 (fast-guidance mode: skip the UNet backward — NOT the parity config; the
 headline stays full-parity gradients), BENCH_TRACE=0 (skip the profiler
@@ -131,7 +132,7 @@ def main() -> None:
     from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
 
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     res = int(os.environ.get("BENCH_RES", "768"))
     fast = os.environ.get("BENCH_FAST", "0") == "1"

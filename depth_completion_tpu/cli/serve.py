@@ -109,6 +109,11 @@ def _parse_geometry(value: str) -> tuple[int, int]:
 @click.option("--session-ttl", type=click.FloatRange(min=0, min_open=True),
               default=300.0, show_default=True,
               help="Idle seconds before a session's carry latent is dropped.")
+@click.option("--max-queue", type=click.IntRange(min=1), default=256,
+              show_default=True,
+              help="Pending-request admission limit; beyond it requests are "
+              "shed with HTTP 503 (each queued request is ~seconds of "
+              "device time).")
 @click.option("--warmup", type=CommaSeparated(str), default=None,
               help="Comma-separated HxW geometries to compile before "
               "accepting traffic, e.g. 480x640,352x1216.")
@@ -149,6 +154,7 @@ def run_serve(
     max_batch: int,
     max_delay_ms: float,
     session_ttl: float,
+    max_queue: int,
     warmup: list[str] | None,
     log: Path | None,
     log_level: str,
@@ -253,6 +259,7 @@ def run_serve(
         max_delay_ms=max_delay_ms,
         session_ttl_s=session_ttl,
         beta=beta,
+        max_queue=max_queue,
     )
 
     if warmup:

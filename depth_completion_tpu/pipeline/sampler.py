@@ -101,9 +101,9 @@ class SamplerConfig:
     ddim: DDIMConfig = DDIMConfig()
     lcm: LCMConfig = LCMConfig()
     # Rematerialize UNet stages in the guidance backward pass.
-    # "auto": off at Marigold geometry (batch ≲ 8 at res 768 — activations
-    # fit HBM and remat costs an extra forward per step), on for large
-    # batch·resolution products. "on"/"off" force it.
+    # "auto": off up to batch·latent-area 8·96² (measured: batch 8 at res
+    # 768 fits v5e HBM and remat costs ~an extra UNet forward per step),
+    # on for larger products. "on"/"off" force it.
     remat_unet: str | bool = "auto"
     # "auto": fused Pallas flash attention on TPU, XLA elsewhere
     flash_attention: str = "auto"  # "auto" | "on" | "off"
@@ -340,10 +340,13 @@ def guided_sample(
             return base_attention(q, k, v, num_heads)
 
     if cfg.remat_unet == "auto":
-        # heuristic: batch × latent area beyond ~4 frames at 96×96 →
-        # rematerialize UNet stages to bound activation memory
+        # heuristic: rematerialize UNet stages beyond ~8 frames at 96×96
+        # to bound activation memory. Measured on v5e (16 GB HBM): batch 8
+        # at 72×96 fits with remat OFF and runs 29% faster than remat ON
+        # (0.4674 vs 0.3637 f/s, PERF.md round-3); the old 4·96² threshold
+        # paid an extra UNet forward per step for nothing.
         eh, ew = img_latents.shape[1], img_latents.shape[2]
-        remat_unet = n * eh * ew > 4 * 96 * 96
+        remat_unet = n * eh * ew > 8 * 96 * 96
     elif isinstance(cfg.remat_unet, bool):
         remat_unet = cfg.remat_unet
     elif cfg.remat_unet in ("on", "off"):

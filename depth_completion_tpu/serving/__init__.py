@@ -18,6 +18,10 @@ sampler config) and to keep the single compute thread hot while HTTP
 threads only enqueue.
 """
 
-from depth_completion_tpu.serving.engine import ServingEngine, ServeRequest
+from depth_completion_tpu.serving.engine import (
+    OverloadedError,
+    ServeRequest,
+    ServingEngine,
+)
 
-__all__ = ["ServingEngine", "ServeRequest"]
+__all__ = ["ServingEngine", "ServeRequest", "OverloadedError"]

@@ -37,6 +37,10 @@ from typing import Any
 import numpy as np
 
 
+class OverloadedError(RuntimeError):
+    """Raised by submit() when the request queue is at max_queue depth."""
+
+
 @dataclass
 class ServeRequest:
     """One depth-completion request (host arrays, NHWC semantics)."""
@@ -85,6 +89,7 @@ class ServingEngine:
         max_delay_ms: float = 25.0,
         session_ttl_s: float = 300.0,
         beta: float | None = None,
+        max_queue: int = 256,
     ) -> None:
         if "max_depth" not in call_kwargs:
             raise ValueError("call_kwargs must include max_depth")
@@ -93,6 +98,7 @@ class ServingEngine:
         self.max_batch = int(max_batch)
         self.max_delay_ms = float(max_delay_ms)
         self.session_ttl_s = float(session_ttl_s)
+        self.max_queue = int(max_queue)
         if beta is not None:
             self.call_kwargs["beta"] = float(beta)
 
@@ -103,6 +109,7 @@ class ServingEngine:
             "requests": 0,
             "completed": 0,
             "errors": 0,
+            "rejected": 0,
             "batches": 0,
             "batched_rows": 0,
             "padded_rows": 0,
@@ -129,6 +136,14 @@ class ServingEngine:
             raise ValueError(
                 f"sparse {req.sparse.shape} does not match image "
                 f"{req.image.shape}"
+            )
+        # bounded admission: shed load instead of growing an unbounded
+        # backlog (each queued request is ~seconds of device time)
+        if self._queue.qsize() >= self.max_queue:
+            with self._lock:
+                self._stats["rejected"] += 1
+            raise OverloadedError(
+                f"request queue full ({self.max_queue} pending)"
             )
         req._enqueued_at = time.monotonic()
         with self._lock:

@@ -27,7 +27,11 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from depth_completion_tpu.serving.engine import ServeRequest, ServingEngine
+from depth_completion_tpu.serving.engine import (
+    OverloadedError,
+    ServeRequest,
+    ServingEngine,
+)
 
 
 def _npy_bytes(arr: np.ndarray) -> bytes:
@@ -93,7 +97,7 @@ class _Handler(BaseHTTPRequestHandler):
                 ServeRequest(image=image, sparse=sparse, session=session)
             )
             dense = req.wait(timeout=self.request_timeout_s)
-        except (ValueError, TimeoutError) as exc:
+        except (ValueError, TimeoutError, OverloadedError) as exc:
             # invalid input (e.g. the reference's empty-sparse contract,
             # pipeline.py:88-97) or an overloaded server
             code = 422 if isinstance(exc, ValueError) else 503

@@ -232,3 +232,38 @@ def test_serve_cli_surface():
     assert _parse_geometry("480x640") == (480, 640)
     with pytest.raises(click.BadParameter):
         _parse_geometry("480")
+
+
+def test_engine_load_shedding():
+    """Beyond max_queue pending requests, submit() sheds with
+    OverloadedError (HTTP 503 at the server layer)."""
+    from depth_completion_tpu.serving import OverloadedError
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    class _BlockingPipe:
+        def __call__(self, images, sparses, **k):
+            entered.set()
+            release.wait(60)
+            n = images.shape[0]
+            return np.zeros((n, H, W, 1), np.float32), np.zeros(
+                (n, 4, 4, 4), np.float32
+            )
+
+    eng = ServingEngine(
+        _BlockingPipe(), dict(max_depth=120.0), max_batch=1, max_queue=2
+    )
+    try:
+        img, sp = _frame(0)
+        first = eng.submit(ServeRequest(image=img, sparse=sp))
+        assert entered.wait(10)  # worker is now inside the pipe call
+        eng.submit(ServeRequest(image=img, sparse=sp))  # queued 1
+        eng.submit(ServeRequest(image=img, sparse=sp))  # queued 2
+        with pytest.raises(OverloadedError, match="queue full"):
+            eng.submit(ServeRequest(image=img, sparse=sp))
+        assert eng.stats()["rejected"] == 1
+    finally:
+        release.set()
+        first.wait(30)
+        eng.shutdown()
