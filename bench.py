@@ -165,8 +165,9 @@ def main() -> None:
         norm="const",
         max_depth=120.0,
         detach_unet_grad=fast,
-        # BENCH_REMAT=on|off overrides the auto threshold (batch sweeps:
-        # auto flips remat ON beyond batch 4 at res 768; see PERF.md)
+        # BENCH_REMAT=on|off overrides the auto threshold (auto flips
+        # remat ON beyond batch·latent-area 8·96² — batch 10 at the bench's
+        # 480×640 inputs; batch/remat sweep in PERF.md round-3)
         remat_unet=os.environ.get("BENCH_REMAT", "auto"),
     )
     fn = jax.jit(guided_sample, static_argnames=("cfg",))

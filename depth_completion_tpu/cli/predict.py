@@ -29,10 +29,13 @@ from typing import Any
 import click
 import numpy as np
 
+from depth_completion_tpu.cli.common import (
+    SUPPORTED_LOSS_FUNCS,
+    coerce_guidance_options,
+    init_bundle,
+)
 from depth_completion_tpu.cli.options import CommaSeparated
 from depth_completion_tpu.logger import LOG_LEVELS, logger
-
-SUPPORTED_LOSS_FUNCS = ["l1", "l2", "edge", "smooth"]
 
 
 @click.command(help="Predict dense depth maps from sparse depth maps and camera images.")
@@ -291,14 +294,6 @@ def run_predict(
             sys.exit(1)
         vis_order = vis_order_ok
 
-    loss_funcs_ok = []
-    for lf in loss_funcs:
-        if lf not in SUPPORTED_LOSS_FUNCS:
-            logger.error(f"Invalid loss function (skipped): {lf}")
-        else:
-            loss_funcs_ok.append(lf)
-    loss_funcs = loss_funcs_ok
-
     if use_prev_latent and batch_size > 1:
         logger.warning(
             "batch_size is forced to 1 when use_prev_latent=True"
@@ -310,24 +305,9 @@ def run_predict(
             "Falling back to --ensemble=1"
         )
         ensemble = 1
-    if (projection in ("log", "log10") or inv) and norm == "const":
-        logger.error(
-            "norm=const is not allowed when projection=log/log10 or inv=True. "
-            "Falling back to norm=minmax"
-        )
-        norm = "minmax"
-    if model == "lcm" and train_latents:
-        logger.error(
-            "LCM-based model does not support trainable latents. "
-            "Falling back to train_latents=False"
-        )
-        train_latents = False
-    if not train_latents and not closed_form:
-        logger.error(
-            "closed-form solution must be enabled without trainable latents. "
-            "Falling back to closed_form=True"
-        )
-        closed_form = True
+    loss_funcs, norm, train_latents, closed_form = coerce_guidance_options(
+        loss_funcs, norm, projection, inv, model, train_latents, closed_form
+    )
     if compile_graph:
         logger.info(
             f"--compile-graph/--compile-mode={compile_mode} noted: XLA always "
@@ -337,42 +317,9 @@ def run_predict(
     # ----- model initialization -------------------------------------------
     import jax.numpy as jnp
 
-    from depth_completion_tpu.models import registry
-    from depth_completion_tpu.models.bundle import load_bundle, make_random_bundle
     from depth_completion_tpu.pipeline import DepthCompletionPipeline
 
-    from depth_completion_tpu.core import resolve_policy
-
-    dtype = resolve_policy(precision).param_dtype
-    vae_kind = "tiny" if vae == "light" else "kl"
-    if model == "random":
-        logger.warning("Running with RANDOM weights (smoke-test mode)")
-        import os
-
-        if os.environ.get("DCT_RANDOM_MODEL_SIZE") == "tiny":
-            # scaled-down geometry for CI / CPU smoke tests
-            bundle = make_random_bundle(seed=0, vae_kind=vae_kind, dtype=dtype)
-        else:
-            bundle = make_random_bundle(
-                seed=0,
-                unet_config=registry.MARIGOLD_UNET_CONFIG,
-                vae_kind=vae_kind,
-                vae_config=registry.TAESD_CONFIG
-                if vae_kind == "tiny"
-                else registry.SD_VAE_CONFIG,
-                text_config=registry.SD2_TEXT_CONFIG,
-                dtype=dtype,
-            )
-    else:
-        if checkpoint_dir is None:
-            logger.critical(
-                "--checkpoint-dir is required (no network egress to the HF hub). "
-                "Use --model=random for smoke tests."
-            )
-            sys.exit(1)
-        bundle = load_bundle(
-            checkpoint_dir, vae_kind=vae_kind, taesd_dir=taesd_dir, dtype=dtype
-        )
+    bundle = init_bundle(model, checkpoint_dir, taesd_dir, vae, precision)
     # Multi-device: shard the bundle over a (data, model) mesh. Frames and
     # ensemble members ride the data axis; the batch is padded to it.
     # Under multihost with per-host work sharding (--num-shards > 1) each

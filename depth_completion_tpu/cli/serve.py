@@ -25,10 +25,12 @@ from typing import Any
 
 import click
 
+from depth_completion_tpu.cli.common import (
+    coerce_guidance_options,
+    init_bundle,
+)
 from depth_completion_tpu.cli.options import CommaSeparated
 from depth_completion_tpu.logger import LOG_LEVELS, logger
-
-from depth_completion_tpu.cli.predict import SUPPORTED_LOSS_FUNCS
 
 
 def _parse_geometry(value: str) -> tuple[int, int]:
@@ -89,9 +91,10 @@ def _parse_geometry(value: str) -> tuple[int, int]:
               default="per-step", show_default=True, help="Training method.")
 @click.option("--train-steps", type=click.IntRange(min=1), default=10,
               show_default=True, help="Steps for --train-method=per-input.")
-@click.option("--beta", type=click.FloatRange(min=0, min_open=True), default=0.9,
-              show_default=True,
-              help="Temporal blend weight for session latent carry.")
+@click.option("--beta",
+              type=click.FloatRange(min=0, max=1, min_open=True, max_open=True),
+              default=0.9, show_default=True,
+              help="Temporal blend weight for session latent carry, in (0,1).")
 @click.option("--fast-guidance", type=bool, default=False, show_default=True,
               help="Skip the UNet backward in guidance (~2x faster, "
               "non-parity gradients; see predict --help).")
@@ -168,64 +171,21 @@ def run_serve(
     enable_compile_cache()
     logger.configure(level=log_level, log_path=log)
 
-    # --- option coercions (same rules as predict, reference predict.py:423-457)
-    loss_funcs = [lf for lf in loss_funcs if lf in SUPPORTED_LOSS_FUNCS] or ["l1", "l2"]
-    if (projection in ("log", "log10") or inv) and norm == "const":
-        logger.error(
-            "norm=const is not allowed when projection=log/log10 or inv=True. "
-            "Falling back to norm=minmax"
-        )
-        norm = "minmax"
-    if model == "lcm" and train_latents:
-        logger.error(
-            "LCM-based model does not support trainable latents. "
-            "Falling back to train_latents=False"
-        )
-        train_latents = False
-    if not train_latents and not closed_form:
-        logger.error(
-            "closed-form solution must be enabled without trainable latents. "
-            "Falling back to closed_form=True"
-        )
-        closed_form = True
-
-    # --- model init (same path as predict) ---
-    import os
+    # --- option coercions (shared with predict, reference predict.py:423-457)
+    loss_funcs, norm, train_latents, closed_form = coerce_guidance_options(
+        loss_funcs, norm, projection, inv, model, train_latents, closed_form
+    )
+    if not loss_funcs:
+        # predict lets the sampler raise per run; a server with no valid
+        # losses would reject every request forever — fail at startup.
+        logger.critical("No valid loss functions specified")
+        sys.exit(1)
 
     import jax
 
-    from depth_completion_tpu.core import resolve_policy
-    from depth_completion_tpu.models import registry
-    from depth_completion_tpu.models.bundle import load_bundle, make_random_bundle
     from depth_completion_tpu.pipeline import DepthCompletionPipeline
 
-    dtype = resolve_policy(precision).param_dtype
-    vae_kind = "tiny" if vae == "light" else "kl"
-    if model == "random":
-        logger.warning("Serving with RANDOM weights (smoke-test mode)")
-        if os.environ.get("DCT_RANDOM_MODEL_SIZE") == "tiny":
-            bundle = make_random_bundle(seed=0, vae_kind=vae_kind, dtype=dtype)
-        else:
-            bundle = make_random_bundle(
-                seed=0,
-                unet_config=registry.MARIGOLD_UNET_CONFIG,
-                vae_kind=vae_kind,
-                vae_config=registry.TAESD_CONFIG
-                if vae_kind == "tiny"
-                else registry.SD_VAE_CONFIG,
-                text_config=registry.SD2_TEXT_CONFIG,
-                dtype=dtype,
-            )
-    else:
-        if checkpoint_dir is None:
-            logger.critical(
-                "--checkpoint-dir is required (no network egress to the HF "
-                "hub). Use --model=random for smoke tests."
-            )
-            sys.exit(1)
-        bundle = load_bundle(
-            checkpoint_dir, vae_kind=vae_kind, taesd_dir=taesd_dir, dtype=dtype
-        )
+    bundle = init_bundle(model, checkpoint_dir, taesd_dir, vae, precision)
     pipe = DepthCompletionPipeline(bundle)
     logger.info(f"Devices: {jax.devices()}")
 

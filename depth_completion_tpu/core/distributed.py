@@ -54,7 +54,14 @@ def initialize(
         process_id = int(os.environ["DCT_PROCESS_ID"])
     if initialization_timeout is None:
         initialization_timeout = int(os.environ.get("DCT_INIT_TIMEOUT", "300"))
-    explicit = coordinator_address is not None
+    # any explicit multi-process config counts: DCT_NUM_PROCESSES=2 with a
+    # missing coordinator address must fail loudly, not degrade to two
+    # independent single-process runs that each believe they are worker 0
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -70,7 +77,9 @@ def initialize(
         if explicit:
             raise RuntimeError(
                 "jax.distributed.initialize failed with an explicitly "
-                f"configured coordinator ({coordinator_address}): {e}"
+                f"configured runtime (coordinator={coordinator_address}, "
+                f"num_processes={num_processes}, process_id={process_id}): "
+                f"{e}"
             ) from e
         # single-process run without coordinator info
         logger.debug(f"jax.distributed.initialize skipped: {e}")

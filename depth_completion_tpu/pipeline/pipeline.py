@@ -91,7 +91,7 @@ class DepthCompletionPipeline:
         # jnp ops dispatch to the global default device (non-addressable on
         # secondary processes), so device reductions cannot be fetched here.
         if not isinstance(sparses, jax.Array) or sparses.is_fully_addressable:
-            rows_valid = np.asarray(sparses).any(axis=(1, 2, 3))
+            rows_valid = (np.asarray(sparses) > 0).any(axis=(1, 2, 3))
         else:
             # globally-sharded input: gather the per-row validity bits
             from jax.experimental import multihost_utils

@@ -103,6 +103,11 @@ class ServingEngine:
             self.call_kwargs["beta"] = float(beta)
 
         self._queue: queue.Queue[ServeRequest | None] = queue.Queue()
+        # Deferred requests (wrong geometry / session for the batch being
+        # collected). Worker-thread-only; served BEFORE the queue so a
+        # minority-geometry request cannot be starved by a steady
+        # same-geometry stream re-queueing it behind newer arrivals.
+        self._backlog: deque[ServeRequest] = deque()
         self._sessions: dict[str, tuple[np.ndarray, float]] = {}
         self._lock = threading.Lock()
         self._stats = {
@@ -136,6 +141,15 @@ class ServingEngine:
             raise ValueError(
                 f"sparse {req.sparse.shape} does not match image "
                 f"{req.image.shape}"
+            )
+        # Per-request validity at admission (the pipeline's empty-sparse
+        # contract, pipeline.py:86-110): checking here keeps one invalid
+        # request from failing the whole micro-batch it would share.
+        if not (req.sparse > 0).any():
+            raise ValueError(
+                "No valid values found in mask for some positions. Ensure "
+                "that mask has at least one True value along the specified "
+                "dimensions. (sparse frame has no points > 0)"
             )
         # bounded admission: shed load instead of growing an unbounded
         # backlog (each queued request is ~seconds of device time)
@@ -187,7 +201,7 @@ class ServingEngine:
         if lats:
             out["latency_s_p50"] = round(lats[len(lats) // 2], 4)
             out["latency_s_p95"] = round(lats[int(len(lats) * 0.95)], 4)
-        out["queue_depth"] = self._queue.qsize()
+        out["queue_depth"] = self._queue.qsize() + len(self._backlog)
         return out
 
     def reset_session(self, session: str) -> bool:
@@ -209,8 +223,18 @@ class ServingEngine:
         if first.session is not None or self.max_batch <= 1:
             return batch
         geo = first.image.shape[:2]
+        # previously-deferred batchmates first (they are older than
+        # anything still in the queue)
+        kept: deque[ServeRequest] = deque()
+        while self._backlog and len(batch) < self.max_batch:
+            r = self._backlog.popleft()
+            if r.session is None and r.image.shape[:2] == geo:
+                batch.append(r)
+            else:
+                kept.append(r)
+        kept.extend(self._backlog)
+        self._backlog = kept
         deadline = time.monotonic() + self.max_delay_ms / 1e3
-        leftovers: list[ServeRequest] = []
         while len(batch) < self.max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -225,14 +249,15 @@ class ServingEngine:
             if nxt.session is None and nxt.image.shape[:2] == geo:
                 batch.append(nxt)
             else:
-                leftovers.append(nxt)
-        for r in leftovers:  # preserve arrival order for the next round
-            self._queue.put(r)
+                self._backlog.append(nxt)  # served first next round
         return batch
 
     def _worker(self) -> None:
         while not self._stop:
-            first = self._queue.get()
+            if self._backlog:
+                first: ServeRequest | None = self._backlog.popleft()
+            else:
+                first = self._queue.get()
             if first is None:
                 break
             batch = self._collect_batch(first)
@@ -244,6 +269,28 @@ class ServingEngine:
                 for r in batch:
                     r._error = exc
                     r._done.set()
+            self._sweep_sessions()
+        # fail any requests still deferred at shutdown instead of letting
+        # their waiters hang until timeout
+        exc_ = RuntimeError("serving engine shut down")
+        while self._backlog:
+            r = self._backlog.popleft()
+            r._error = exc_
+            r._done.set()
+
+    def _sweep_sessions(self) -> None:
+        """Drop expired carry latents for ALL sessions (not only re-used
+        keys) — one O(sessions) scan per multi-second batch; without it a
+        stream of fresh session ids would grow the dict without bound."""
+        now = time.monotonic()
+        with self._lock:
+            dead = [
+                k
+                for k, (_, ts) in self._sessions.items()
+                if now - ts > self.session_ttl_s
+            ]
+            for k in dead:
+                del self._sessions[k]
 
     def _run_batch(self, batch: list[ServeRequest]) -> None:
         n = len(batch)

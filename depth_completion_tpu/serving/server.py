@@ -103,6 +103,11 @@ class _Handler(BaseHTTPRequestHandler):
             code = 422 if isinstance(exc, ValueError) else 503
             self._json(code, {"error": str(exc)})
             return
+        except Exception as exc:  # engine/device failure re-raised by wait()
+            # without this the handler thread dies mid-response and the
+            # client sees a bare connection reset instead of a status
+            self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+            return
 
         body = _npy_bytes(np.asarray(dense, np.float32))
         self.send_response(200)

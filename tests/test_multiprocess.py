@@ -125,6 +125,41 @@ def test_initialize_raises_on_bad_explicit_coordinator(tmp_path):
     assert "SILENT_DEGRADATION" not in proc.stdout, proc.stdout
 
 
+def test_initialize_raises_on_processes_without_coordinator(tmp_path):
+    """DCT_NUM_PROCESSES/DCT_PROCESS_ID without a coordinator address is
+    still an explicit multi-process config: initialize must raise, not
+    degrade to two independent single-process runs that each shard the
+    work believing they are process 0."""
+    script = tmp_path / "no_coord.py"
+    script.write_text(
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from depth_completion_tpu.core.distributed import initialize\n"
+        "try:\n"
+        "    initialize(num_processes=2, process_id=0,\n"
+        "               initialization_timeout=5)\n"
+        "except RuntimeError as e:\n"
+        "    print('RAISED_AS_EXPECTED', str(e)[:80], flush=True)\n"
+        "else:\n"
+        "    print('SILENT_DEGRADATION', flush=True)\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("DCT_COORDINATOR_ADDRESS", None)
+    repo = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=180,
+    )
+    loud = "RAISED_AS_EXPECTED" in proc.stdout or proc.returncode != 0
+    assert loud, proc.stdout
+    assert "SILENT_DEGRADATION" not in proc.stdout, proc.stdout
+
+
 @pytest.mark.skipif(
     os.environ.get("DCT_SKIP_MULTIPROCESS") == "1",
     reason="multi-process test disabled",

@@ -150,6 +150,10 @@ def test_empty_sparse_frame_raises(pipe, inputs):
     sparse2 = np.concatenate([sparse, empty])
     with pytest.raises(ValueError, match=r"frames \[1\]"):
         pipe(images2, sparse2, **COMMON)
+    # the contract is points > 0 (projection.py mask), not merely nonzero:
+    # a negative-only frame must also fail loudly, not flow ±inf
+    with pytest.raises(ValueError, match="No valid values found in mask"):
+        pipe(images, -np.abs(sparse) - 1.0, **COMMON)
 
 
 def test_config_validation(pipe, inputs):

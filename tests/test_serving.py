@@ -234,6 +234,116 @@ def test_serve_cli_surface():
         _parse_geometry("480")
 
 
+def test_engine_rejects_invalid_sparse_at_admission(engine):
+    """A sparse map with no points > 0 (all-zero OR negative-only) is
+    rejected in submit(), before it can poison a shared micro-batch."""
+    img, sp = _frame(8)
+    before = engine.stats()["requests"]
+    with pytest.raises(ValueError, match="No valid values found in mask"):
+        engine.submit(ServeRequest(image=img, sparse=np.zeros_like(sp)))
+    with pytest.raises(ValueError, match="No valid values found in mask"):
+        engine.submit(ServeRequest(image=img, sparse=-np.abs(sp) - 1.0))
+    assert engine.stats()["requests"] == before  # nothing was enqueued
+
+
+def _fake_pipe_result(images):
+    n, h, w = images.shape[:3]
+    return (
+        np.zeros((n, h, w, 1), np.float32),
+        np.zeros((n, 4, 4, 4), np.float32),
+    )
+
+
+def test_engine_session_sweep_expired():
+    """Expired carry latents are dropped for ALL session ids, not only
+    re-used keys — a stream of fresh ids must not grow memory forever."""
+    import time
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0), max_batch=1, session_ttl_s=1.0
+    )
+    try:
+        img, sp = _frame(9)
+        eng.complete(img, sp, session="s1", timeout=30)
+        eng.complete(img, sp, session="s2", timeout=30)
+        assert eng.stats()["sessions_active"] == 2
+        time.sleep(1.1)  # let both sessions expire
+        eng.complete(img, sp, timeout=30)  # any round triggers the sweep
+        deadline = time.monotonic() + 5
+        while (
+            eng.stats()["sessions_active"] > 0
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.01)
+        assert eng.stats()["sessions_active"] == 0
+    finally:
+        eng.shutdown()
+
+
+def test_engine_backlog_priority():
+    """A minority-geometry request deferred out of a batch round is served
+    BEFORE same-geometry requests that arrived after it (re-queueing
+    leftovers at the queue tail starved it under sustained load)."""
+    entered = threading.Event()
+    release = threading.Event()
+    calls: list[tuple[int, int]] = []
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(tuple(images.shape[1:3]))
+            if len(calls) == 1:
+                entered.set()
+                release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0), max_batch=2, max_delay_ms=200.0
+    )
+    try:
+        img_a, sp_a = _frame(0)
+        img_b, sp_b = _frame(1, h=W, w=H)  # transposed geometry
+        reqs = [eng.submit(ServeRequest(image=img_a, sparse=sp_a))]
+        assert entered.wait(10)  # worker busy; the rest queue deterministically
+        reqs.append(eng.submit(ServeRequest(image=img_a, sparse=sp_a)))  # A2
+        reqs.append(eng.submit(ServeRequest(image=img_b, sparse=sp_b)))  # B1
+        reqs.append(eng.submit(ServeRequest(image=img_a, sparse=sp_a)))  # A3
+        reqs.append(eng.submit(ServeRequest(image=img_a, sparse=sp_a)))  # A4
+        release.set()
+        for r in reqs:
+            r.wait(30)
+        idx_b = calls.index((W, H))
+        idx_a_last = max(i for i, g in enumerate(calls) if g == (H, W))
+        assert idx_b < idx_a_last, calls  # B1 must not be starved behind A4
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_http_engine_error_returns_500():
+    """Unexpected engine exceptions surface as HTTP 500, not a dropped
+    connection (the handler used to re-raise and kill its thread)."""
+
+    class _Boom:
+        def __call__(self, images, sparses, **k):
+            raise RuntimeError("device exploded")
+
+    eng = ServingEngine(_Boom(), dict(max_depth=120.0), max_batch=1)
+    srv = make_server(eng, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img, sp = _frame(7)
+        status, data, _ = _post(srv, "/v1/complete", _npz_payload(img, sp))
+        assert status == 500 and b"device exploded" in data
+    finally:
+        srv.shutdown()
+        eng.shutdown()
+
+
 def test_engine_load_shedding():
     """Beyond max_queue pending requests, submit() sheds with
     OverloadedError (HTTP 503 at the server layer)."""
