@@ -104,8 +104,13 @@ def _parse_geometry(value: str) -> tuple[int, int]:
               show_default=True, help="Bind port (0 picks a free port).")
 @click.option("--max-batch", type=click.IntRange(min=1), default=4,
               show_default=True,
-              help="Micro-batch size (also the static padded batch; batch 4 "
-              "measured +4.4% throughput over batch 1, PERF.md round-3).")
+              help="Micro-batch size (also the largest static batch bucket; "
+              "batch amortization measured +12% at batch 8, PERF.md "
+              "round-3).")
+@click.option("--batch-buckets", type=CommaSeparated(int), default=None,
+              help="Static padded batch sizes, e.g. 1,4,8 — one compiled "
+              "program each per geometry; a coalesced batch runs the "
+              "smallest bucket that fits. Default: 1,<max-batch>.")
 @click.option("--max-delay-ms", type=click.FloatRange(min=0), default=25.0,
               show_default=True,
               help="How long to wait for same-geometry batchmates.")
@@ -155,6 +160,7 @@ def run_serve(
     host: str,
     port: int,
     max_batch: int,
+    batch_buckets: list[int] | None,
     max_delay_ms: float,
     session_ttl: float,
     max_queue: int,
@@ -220,6 +226,7 @@ def run_serve(
         session_ttl_s=session_ttl,
         beta=beta,
         max_queue=max_queue,
+        batch_buckets=tuple(batch_buckets) if batch_buckets else None,
     )
 
     if warmup:

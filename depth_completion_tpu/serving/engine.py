@@ -6,13 +6,14 @@ Design (TPU-first):
   enqueue. JAX dispatch stays single-threaded and the compiled program
   pipeline stays hot.
 - Same-geometry micro-batching: requests whose frames share (H, W) are
-  stacked and padded to a FIXED batch size by repeating the first row, so
-  each input geometry compiles exactly one XLA program regardless of how
-  many requests arrive together (the same static-batch trick as the
-  predict CLI). Padded rows are computed and discarded — at guided-
-  diffusion cost per frame (~seconds), waiting `max_delay_ms` for
-  batchmates is cheap and batch amortization is measured (+4.4% at
-  batch 4, PERF.md round-3).
+  stacked and padded to the smallest STATIC batch bucket that fits
+  (default buckets {1, max_batch}), so each (geometry, bucket) compiles
+  exactly one XLA program regardless of how many requests arrive together
+  (the same static-batch trick as the predict CLI) while a lone request
+  pays bucket-1 latency, not max_batch's padded device time. Padded rows
+  are computed and discarded — at guided-diffusion cost per frame
+  (~seconds), waiting `max_delay_ms` for batchmates is cheap and batch
+  amortization is measured (+12% at batch 8, PERF.md round-3).
 - Sessions: a video stream passes `session=<id>` and the engine carries
   the previous frame's final latent into the next request
   (`beta*common_noise + (1-beta)*prev`, reference marigold_dc.py:699-704,
@@ -73,11 +74,15 @@ class ServingEngine:
         call_kwargs: fixed sampler kwargs passed to every `pipe(...)` call
             (steps, resolution, loss_funcs, norm, ... and `max_depth`,
             which is required).
-        max_batch: micro-batch size; also the static padded batch size.
+        max_batch: micro-batch size; also the largest static batch bucket.
         max_delay_ms: how long the batcher waits for same-geometry
             batchmates after the first request of a batch arrives.
         session_ttl_s: idle seconds after which a session's carry latent
             is dropped.
+        batch_buckets: static padded batch sizes (one XLA program each per
+            geometry); a coalesced batch runs the smallest bucket that
+            fits. Default {1, max_batch}. max_batch is always included;
+            buckets above it are dropped.
     """
 
     def __init__(
@@ -90,6 +95,7 @@ class ServingEngine:
         session_ttl_s: float = 300.0,
         beta: float | None = None,
         max_queue: int = 256,
+        batch_buckets: tuple[int, ...] | None = None,
     ) -> None:
         if "max_depth" not in call_kwargs:
             raise ValueError("call_kwargs must include max_depth")
@@ -99,6 +105,19 @@ class ServingEngine:
         self.max_delay_ms = float(max_delay_ms)
         self.session_ttl_s = float(session_ttl_s)
         self.max_queue = int(max_queue)
+        # Static padded-batch sizes: a coalesced batch of n rows runs the
+        # smallest bucket >= n. One XLA program per (geometry, bucket), so
+        # a lone request pays bucket-1 device time instead of a full
+        # max_batch row's worth of padding. Default {1, max_batch}.
+        if batch_buckets is None:
+            buckets = {1, self.max_batch}
+        else:
+            buckets = {int(b) for b in batch_buckets}
+            if any(b < 1 for b in buckets):
+                raise ValueError(f"batch buckets must be >= 1: {batch_buckets}")
+            buckets.add(self.max_batch)  # largest bucket must fit max_batch
+            buckets = {b for b in buckets if b <= self.max_batch}
+        self.batch_buckets = tuple(sorted(buckets))
         if beta is not None:
             self.call_kwargs["beta"] = float(beta)
 
@@ -119,6 +138,7 @@ class ServingEngine:
             "batched_rows": 0,
             "padded_rows": 0,
             "compiled_geometries": [],
+            "compiled_programs": [],  # (h, w, bucket) triples seen live
         }
         self._latencies: deque[float] = deque(maxlen=512)
         self._warm = False
@@ -178,14 +198,23 @@ class ServingEngine:
         ).wait(timeout)
 
     def warmup(self, geometries: list[tuple[int, int]]) -> None:
-        """Compile (or cache-load) the program for each (H, W) geometry."""
+        """Compile (or cache-load) every (geometry, batch-bucket) program.
+
+        Calls the pipeline directly (no traffic is flowing yet, so the
+        single-compute-thread invariant is not at stake) so each bucket
+        size compiles before the first live request can hit it cold."""
         rng = np.random.default_rng(0)
         for h, w in geometries:
             img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
             sparse = np.zeros((h, w, 1), np.float32)
             sparse[h // 2, w // 2, 0] = 1.0
             sparse[h // 4, w // 4, 0] = self.call_kwargs["max_depth"] / 2
-            self.complete(img, sparse)
+            for b in self.batch_buckets:
+                self.pipe(
+                    np.repeat(img[None], b, 0),
+                    np.repeat(sparse[None], b, 0),
+                    **self.call_kwargs,
+                )
         self._warm = True
 
     @property
@@ -196,6 +225,7 @@ class ServingEngine:
         with self._lock:
             out = dict(self._stats)
             out["compiled_geometries"] = list(out["compiled_geometries"])
+            out["compiled_programs"] = list(out["compiled_programs"])
             lats = sorted(self._latencies)
             out["sessions_active"] = len(self._sessions)
         if lats:
@@ -297,8 +327,14 @@ class ServingEngine:
         geo = tuple(batch[0].image.shape[:2])
         images = np.stack([r.image for r in batch]).astype(np.float32)
         sparses = np.stack([r.sparse for r in batch]).astype(np.float32)
-        # Static batch: pad with row 0 so each geometry is ONE program.
-        pad = self.max_batch - n if batch[0].session is None else 0
+        # Static batch: pad to the smallest bucket >= n so each
+        # (geometry, bucket) is ONE program and a lone request does not
+        # pay a full max_batch of padded device time.
+        if batch[0].session is None:
+            bucket = min(b for b in self.batch_buckets if b >= n)
+            pad = bucket - n
+        else:
+            pad = 0
         if pad:
             images = np.concatenate([images, images[:1].repeat(pad, 0)])
             sparses = np.concatenate([sparses, sparses[:1].repeat(pad, 0)])
@@ -333,6 +369,9 @@ class ServingEngine:
             self._stats["padded_rows"] += pad
             if geo not in self._stats["compiled_geometries"]:
                 self._stats["compiled_geometries"].append(geo)
+            prog = (geo[0], geo[1], n + pad)
+            if prog not in self._stats["compiled_programs"]:
+                self._stats["compiled_programs"].append(prog)
             for r in batch:
                 self._latencies.append(done_at - r._enqueued_at)
         for i, r in enumerate(batch):

@@ -323,6 +323,53 @@ def test_engine_backlog_priority():
         eng.shutdown()
 
 
+def test_engine_batch_buckets():
+    """A lone request runs the bucket-1 program (no padded rows); a
+    coalesced batch pads to the smallest bucket that fits; warmup
+    compiles every bucket."""
+    entered = threading.Event()
+    release = threading.Event()
+    batch_dims: list[int] = []
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            batch_dims.append(images.shape[0])
+            if len(batch_dims) == 1:  # only the first call blocks
+                entered.set()
+                release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0), max_batch=4, max_delay_ms=200.0
+    )
+    try:
+        assert eng.batch_buckets == (1, 4)
+        img, sp = _frame(0)
+        # lone request: worker picks it up alone -> bucket 1, blocks in pipe
+        first = eng.submit(ServeRequest(image=img, sparse=sp))
+        assert entered.wait(10)
+        # three enqueued while blocked -> coalesce -> bucket 4 (1 padded)
+        rest = [
+            eng.submit(ServeRequest(image=img, sparse=sp)) for _ in range(3)
+        ]
+        release.set()
+        first.wait(30)
+        for r in rest:
+            r.wait(30)
+        assert batch_dims == [1, 4]
+        stats = eng.stats()
+        assert stats["padded_rows"] == 1
+        progs = [tuple(p) for p in stats["compiled_programs"]]
+        assert (H, W, 1) in progs and (H, W, 4) in progs
+        # warmup compiles every bucket for the geometry
+        batch_dims.clear()
+        eng.warmup([(H, W)])
+        assert batch_dims == [1, 4]
+    finally:
+        release.set()
+        eng.shutdown()
+
+
 def test_http_engine_error_returns_500():
     """Unexpected engine exceptions surface as HTTP 500, not a dropped
     connection (the handler used to re-raise and kill its thread)."""
