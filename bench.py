@@ -166,8 +166,8 @@ def main() -> None:
         max_depth=120.0,
         detach_unet_grad=fast,
         # BENCH_REMAT=on|off overrides the auto threshold (auto flips
-        # remat ON beyond batch·latent-area 8·96² — batch 10 at the bench's
-        # 480×640 inputs; batch/remat sweep in PERF.md round-3)
+        # remat ON beyond batch·latent-area 12·72·96 — batch 12 at the
+        # bench's 480×640 inputs; batch/remat sweep in PERF.md round-3)
         remat_unet=os.environ.get("BENCH_REMAT", "auto"),
     )
     fn = jax.jit(guided_sample, static_argnames=("cfg",))

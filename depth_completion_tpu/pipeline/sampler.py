@@ -101,9 +101,9 @@ class SamplerConfig:
     ddim: DDIMConfig = DDIMConfig()
     lcm: LCMConfig = LCMConfig()
     # Rematerialize UNet stages in the guidance backward pass.
-    # "auto": off up to batch·latent-area 8·96² (measured: batch 8 at res
-    # 768 fits v5e HBM and remat costs ~an extra UNet forward per step),
-    # on for larger products. "on"/"off" force it.
+    # "auto": off up to batch·latent-area 12·72·96 (measured: batch 12 at
+    # res 768 fits v5e HBM and remat costs ~an extra UNet forward per
+    # step; batch 16 OOMs), on for larger products. "on"/"off" force it.
     remat_unet: str | bool = "auto"
     # "auto": fused Pallas flash attention on TPU, XLA elsewhere
     flash_attention: str = "auto"  # "auto" | "on" | "off"
@@ -340,13 +340,14 @@ def guided_sample(
             return base_attention(q, k, v, num_heads)
 
     if cfg.remat_unet == "auto":
-        # heuristic: rematerialize UNet stages beyond ~8 frames at 96×96
-        # to bound activation memory. Measured on v5e (16 GB HBM): batch 8
-        # at 72×96 fits with remat OFF and runs 29% faster than remat ON
-        # (0.4674 vs 0.3637 f/s, PERF.md round-3); the old 4·96² threshold
-        # paid an extra UNet forward per step for nothing.
+        # heuristic: rematerialize UNet stages beyond ~12 frames of 72×96
+        # latents to bound activation memory. Measured on v5e (16 GB HBM):
+        # batch 12 at 72×96 fits with remat OFF and beats remat ON by 22%
+        # (0.3973 vs 0.3248 f/s); batch 16 OOMs at compile (17.0 vs 15.75
+        # GiB) — the edge is in (12, 16)·72·96 and the threshold sits at
+        # the measured fit point (PERF.md round-3 batch/remat sweep).
         eh, ew = img_latents.shape[1], img_latents.shape[2]
-        remat_unet = n * eh * ew > 8 * 96 * 96
+        remat_unet = n * eh * ew > 12 * 72 * 96
     elif isinstance(cfg.remat_unet, bool):
         remat_unet = cfg.remat_unet
     elif cfg.remat_unet in ("on", "off"):

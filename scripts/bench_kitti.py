@@ -23,7 +23,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dct_xla_cache")
 
 import numpy as np
 
-FRAMES = int(os.environ.get("KB_FRAMES", "4"))
+BATCH = int(os.environ.get("KB_BATCH", "1"))
+FRAMES = int(os.environ.get("KB_FRAMES", str(max(4, 3 * BATCH))))
 ENSEMBLE = int(os.environ.get("KB_ENSEMBLE", "5"))
 STEPS = int(os.environ.get("KB_STEPS", "50"))
 
@@ -48,6 +49,7 @@ def main():
         str(data), str(out),
         "--model", "random", "--steps", str(STEPS), "--res", "768",
         "--ensemble", str(ENSEMBLE), "--ensemble-reduce", "median",
+        "--batch-size", str(BATCH),
         "--compress", "npy", "--vis", "false", "--log-level", "INFO",
     ]
     t0 = time.time()
@@ -68,17 +70,19 @@ def main():
     d = np.load(denses[-1])
     assert d.shape == (352, 1216, 1) and np.isfinite(d).all()
 
+    # time/infer is per batch ITERATION (predict.py progress postfix), so
+    # frames/s = BATCH / steady
     steady = min(infer[1:]) if len(infer) > 1 else infer[0]
     hbm = None
     for m in re.findall(r"HBM high-water: ([0-9.]+) GiB", text):
         hbm = float(m)
     result = {
         "metric": "kitti_frames_per_sec_per_chip",
-        "value": round(1.0 / steady, 4),
+        "value": round(BATCH / steady, 4),
         "unit": "frames/s",
         "config": f"1216x352, {STEPS}-step guided DDIM, res 768, "
-        f"ensemble {ENSEMBLE} (median), bf16, taesd",
-        "s_per_frame": round(steady, 2),
+        f"ensemble {ENSEMBLE} (median), batch {BATCH}, bf16, taesd",
+        "s_per_frame": round(steady / BATCH, 2),
         "frames": FRAMES,
         "compile_plus_first_s": round(infer[0], 1) if infer else None,
         "process_wall_s": round(wall, 1),
