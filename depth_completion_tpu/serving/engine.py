@@ -55,6 +55,7 @@ class ServeRequest:
     _error: Exception | None = field(default=None, repr=False)
     _enqueued_at: float = 0.0
     _batch_size: int = 0
+    _cancelled: bool = False
 
     def wait(self, timeout: float | None = None) -> np.ndarray:
         if not self._done.wait(timeout):
@@ -63,6 +64,13 @@ class ServeRequest:
             raise self._error
         assert self._result is not None
         return self._result
+
+    def cancel(self) -> None:
+        """Mark the request abandoned: if it has not started computing,
+        the worker drops it instead of burning ~seconds of device time on
+        a result nobody will read. A request already inside a batch
+        completes normally (its result is simply discarded)."""
+        self._cancelled = True
 
 
 class ServingEngine:
@@ -134,6 +142,7 @@ class ServingEngine:
             "completed": 0,
             "errors": 0,
             "rejected": 0,
+            "cancelled": 0,
             "batches": 0,
             "batched_rows": 0,
             "padded_rows": 0,
@@ -245,6 +254,17 @@ class ServingEngine:
 
     # ------------------------------------------------------------- worker
 
+    def _reap_cancelled(self, req: ServeRequest) -> bool:
+        """True if the request was abandoned by its waiter; resolve it
+        without device work."""
+        if not req._cancelled:
+            return False
+        with self._lock:
+            self._stats["cancelled"] += 1
+        req._error = RuntimeError("request cancelled by caller")
+        req._done.set()
+        return True
+
     def _collect_batch(self, first: ServeRequest) -> list[ServeRequest]:
         """Greedily gather same-geometry, sessionless batchmates until
         max_batch or the delay deadline. Session (carry) requests always
@@ -258,6 +278,8 @@ class ServingEngine:
         kept: deque[ServeRequest] = deque()
         while self._backlog and len(batch) < self.max_batch:
             r = self._backlog.popleft()
+            if self._reap_cancelled(r):
+                continue
             if r.session is None and r.image.shape[:2] == geo:
                 batch.append(r)
             else:
@@ -276,6 +298,8 @@ class ServingEngine:
             if nxt is None:  # shutdown sentinel: put it back, finish batch
                 self._queue.put(None)
                 break
+            if self._reap_cancelled(nxt):
+                continue
             if nxt.session is None and nxt.image.shape[:2] == geo:
                 batch.append(nxt)
             else:
@@ -290,6 +314,8 @@ class ServingEngine:
                 first = self._queue.get()
             if first is None:
                 break
+            if self._reap_cancelled(first):
+                continue
             batch = self._collect_batch(first)
             try:
                 self._run_batch(batch)

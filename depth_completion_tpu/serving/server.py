@@ -100,6 +100,8 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, TimeoutError, OverloadedError) as exc:
             # invalid input (e.g. the reference's empty-sparse contract,
             # pipeline.py:88-97) or an overloaded server
+            if isinstance(exc, TimeoutError):
+                req.cancel()  # don't burn device time on an answer nobody reads
             code = 422 if isinstance(exc, ValueError) else 503
             self._json(code, {"error": str(exc)})
             return

@@ -370,6 +370,41 @@ def test_engine_batch_buckets():
         eng.shutdown()
 
 
+def test_engine_cancel_skips_device_work():
+    """A request cancelled while queued (e.g. its HTTP client timed out)
+    is reaped by the worker without a pipeline call."""
+    entered = threading.Event()
+    release = threading.Event()
+    calls = []
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(images.shape[0])
+            if len(calls) == 1:
+                entered.set()
+                release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_Pipe(), dict(max_depth=120.0), max_batch=1)
+    try:
+        img, sp = _frame(0)
+        first = eng.submit(ServeRequest(image=img, sparse=sp))
+        assert entered.wait(10)
+        doomed = eng.submit(ServeRequest(image=img, sparse=sp))
+        tail = eng.submit(ServeRequest(image=img, sparse=sp))
+        doomed.cancel()
+        release.set()
+        first.wait(30)
+        tail.wait(30)
+        with pytest.raises(RuntimeError, match="cancelled"):
+            doomed.wait(10)
+        assert eng.stats()["cancelled"] == 1
+        assert len(calls) == 2  # first + tail; doomed never hit the pipe
+    finally:
+        release.set()
+        eng.shutdown()
+
+
 def test_http_engine_error_returns_500():
     """Unexpected engine exceptions surface as HTTP 500, not a dropped
     connection (the handler used to re-raise and kill its thread)."""
