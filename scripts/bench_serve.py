@@ -7,7 +7,7 @@ Drives the REAL ServingEngine (random weights; latency is
 weight-independent) with a closed-loop pool of concurrent clients at one
 geometry, after a warmup pass that compiles the program.
 
-Run (TPU): PYTHONPATH=. python scripts/bench_serve.py
+Run (TPU): PYTHONPATH=.:/root/.axon_site python scripts/bench_serve.py
 Quick CPU smoke: DCT_RANDOM_MODEL_SIZE=tiny JAX_PLATFORMS=cpu \
     SB_RES=64 SB_GEOMETRY=48x64 SB_REQUESTS=6 SB_STEPS=2 \
     PYTHONPATH=. python scripts/bench_serve.py
