@@ -49,16 +49,21 @@ def main() -> None:
     from depth_completion_tpu.pipeline import DepthCompletionPipeline
     from depth_completion_tpu.serving import ServeRequest, ServingEngine
 
+    import jax.numpy as jnp
+
     h, w = (int(x) for x in GEOMETRY.lower().split("x"))
     if os.environ.get("DCT_RANDOM_MODEL_SIZE") == "tiny":
         bundle = make_random_bundle(seed=0, vae_kind="tiny", dtype=np.float32)
     else:
+        # same bundle class as bench.py: bf16 weights, tiny text tower
+        # (the 2-token context is cached; full CLIP only adds HBM weight)
         bundle = make_random_bundle(
             seed=0,
             unet_config=registry.MARIGOLD_UNET_CONFIG,
             vae_kind="tiny",
             vae_config=registry.TAESD_CONFIG,
-            text_config=registry.SD2_TEXT_CONFIG,
+            text_config=registry.TINY_TEXT_CONFIG,
+            dtype=jnp.bfloat16,
         )
     engine = ServingEngine(
         DepthCompletionPipeline(bundle),
