@@ -2,9 +2,11 @@
 
 Design (TPU-first):
 
-- One compute thread owns all device work; HTTP/caller threads only
-  enqueue. JAX dispatch stays single-threaded and the compiled program
-  pipeline stays hot.
+- One compute thread owns all device DISPATCH; HTTP/caller threads only
+  enqueue. A separate finisher thread materializes results (JAX returns
+  async device arrays), so host-side result fetch overlaps the next
+  batch's device compute instead of idling the chip between batches
+  (up to two batches in flight).
 - Same-geometry micro-batching: requests whose frames share (H, W) are
   stacked and padded to the smallest STATIC batch bucket that fits
   (default buckets {1, max_batch}), so each (geometry, bucket) compiles
@@ -152,10 +154,21 @@ class ServingEngine:
         self._latencies: deque[float] = deque(maxlen=512)
         self._warm = False
         self._stop = False
+        # Dispatch/finish pipelining: the worker enqueues each dispatched
+        # batch (JAX returns async device arrays) and immediately collects
+        # the next one, while the finisher thread materializes results —
+        # so host-side result fetch overlaps device compute instead of
+        # idling the chip between batches. maxsize bounds in-flight
+        # batches (double buffering).
+        self._finish: queue.Queue[tuple | None] = queue.Queue(maxsize=2)
         self._thread = threading.Thread(
             target=self._worker, name="dct-serving-worker", daemon=True
         )
+        self._finisher = threading.Thread(
+            target=self._finisher_loop, name="dct-serving-finisher", daemon=True
+        )
         self._thread.start()
+        self._finisher.start()
 
     # ------------------------------------------------------------- public
 
@@ -251,6 +264,8 @@ class ServingEngine:
         self._stop = True
         self._queue.put(None)
         self._thread.join(timeout)
+        self._finish.put(None)
+        self._finisher.join(timeout)
 
     # ------------------------------------------------------------- worker
 
@@ -349,6 +364,8 @@ class ServingEngine:
                 del self._sessions[k]
 
     def _run_batch(self, batch: list[ServeRequest]) -> None:
+        """Dispatch one batch (async device arrays) and hand it to the
+        finisher; blocks only when two batches are already in flight."""
         n = len(batch)
         geo = tuple(batch[0].image.shape[:2])
         images = np.stack([r.image for r in batch]).astype(np.float32)
@@ -378,29 +395,47 @@ class ServingEngine:
                 kwargs["pred_latents_prev"] = held[0]
 
         denses, latents = self.pipe(images, sparses, **kwargs)
-        denses = np.asarray(denses)[:n]
 
         if session is not None:
+            # store the (possibly still-executing) device array; JAX
+            # chains the dependency if the session's next frame dispatches
+            # before this one materializes
             with self._lock:
-                self._sessions[session] = (
-                    np.asarray(latents),
-                    time.monotonic(),
-                )
+                self._sessions[session] = (latents, time.monotonic())
 
-        done_at = time.monotonic()
-        with self._lock:
-            self._stats["completed"] += n
-            self._stats["batches"] += 1
-            self._stats["batched_rows"] += n
-            self._stats["padded_rows"] += pad
-            if geo not in self._stats["compiled_geometries"]:
-                self._stats["compiled_geometries"].append(geo)
-            prog = (geo[0], geo[1], n + pad)
-            if prog not in self._stats["compiled_programs"]:
-                self._stats["compiled_programs"].append(prog)
-            for r in batch:
-                self._latencies.append(done_at - r._enqueued_at)
-        for i, r in enumerate(batch):
-            r._result = denses[i]
-            r._batch_size = n
-            r._done.set()
+        self._finish.put((batch, n, pad, geo, denses))
+
+    def _finisher_loop(self) -> None:
+        """Materialize dispatched batches and resolve their waiters, off
+        the dispatch thread so result fetch overlaps device compute."""
+        while True:
+            item = self._finish.get()
+            if item is None:
+                break
+            batch, n, pad, geo, denses = item
+            try:
+                denses = np.asarray(denses)[:n]
+            except Exception as exc:  # async device failure surfaces here
+                with self._lock:
+                    self._stats["errors"] += len(batch)
+                for r in batch:
+                    r._error = exc
+                    r._done.set()
+                continue
+            done_at = time.monotonic()
+            with self._lock:
+                self._stats["completed"] += n
+                self._stats["batches"] += 1
+                self._stats["batched_rows"] += n
+                self._stats["padded_rows"] += pad
+                if geo not in self._stats["compiled_geometries"]:
+                    self._stats["compiled_geometries"].append(geo)
+                prog = (geo[0], geo[1], n + pad)
+                if prog not in self._stats["compiled_programs"]:
+                    self._stats["compiled_programs"].append(prog)
+                for r in batch:
+                    self._latencies.append(done_at - r._enqueued_at)
+            for i, r in enumerate(batch):
+                r._result = denses[i]
+                r._batch_size = n
+                r._done.set()
