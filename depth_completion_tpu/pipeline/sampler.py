@@ -65,6 +65,34 @@ from depth_completion_tpu.sched.lcm import LCMConfig, lcm_step, make_lcm_timeste
 
 EPSILON = 1e-7  # reference marigold_dc.py:20
 
+# remat_unet="auto" anchor, measured on v5e (PERF.md round-3 batch/remat
+# sweep): batch 12 of 72×96 latents fits remat-off in the 15.75 GiB the
+# runtime grants (bytes_limit), batch 16 OOMs at compile (needs 17.0 GiB).
+_REMAT_ANCHOR_PIXELS = 12 * 72 * 96
+_REMAT_ANCHOR_BYTES = int(15.75 * 1024**3)
+
+
+def _remat_auto_threshold() -> int:
+    """Latent-pixel product (n·EH·EW) above which "auto" rematerializes.
+
+    Derived from the device's reported HBM when available: the threshold
+    scales linearly with ``memory_stats()["bytes_limit"]`` around the
+    measured v5e anchor (on v5e the ratio is 1.0, so behavior there is
+    unchanged). Linear scaling is conservative — activation memory has a
+    large fixed term (weights + decode activations), so a 32 GiB chip fits
+    strictly more than 2× the v5e batch — remat flips on early, never OOMs
+    late. Devices that don't report memory stats (CPU, some plugins) use
+    the v5e anchor unchanged.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+    except Exception:
+        limit = None
+    if not limit:
+        return _REMAT_ANCHOR_PIXELS
+    return max(1, int(_REMAT_ANCHOR_PIXELS * (limit / _REMAT_ANCHOR_BYTES)))
+
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
@@ -101,9 +129,11 @@ class SamplerConfig:
     ddim: DDIMConfig = DDIMConfig()
     lcm: LCMConfig = LCMConfig()
     # Rematerialize UNet stages in the guidance backward pass.
-    # "auto": off up to batch·latent-area 12·72·96 (measured: batch 12 at
-    # res 768 fits v5e HBM and remat costs ~an extra UNet forward per
-    # step; batch 16 OOMs), on for larger products. "on"/"off" force it.
+    # "auto": off while batch·latent-area fits the device's HBM, on beyond.
+    # The fit edge scales with memory_stats()["bytes_limit"], anchored at
+    # the measured v5e point 12·72·96 latent pixels @ 15.75 GiB (batch 12
+    # at res 768 fits remat-off, batch 16 OOMs; remat costs ~an extra UNet
+    # forward per step). "on"/"off" force it.
     remat_unet: str | bool = "auto"
     # "auto": fused Pallas flash attention on TPU, XLA elsewhere
     flash_attention: str = "auto"  # "auto" | "on" | "off"
@@ -340,14 +370,13 @@ def guided_sample(
             return base_attention(q, k, v, num_heads)
 
     if cfg.remat_unet == "auto":
-        # heuristic: rematerialize UNet stages beyond ~12 frames of 72×96
-        # latents to bound activation memory. Measured on v5e (16 GB HBM):
-        # batch 12 at 72×96 fits with remat OFF and beats remat ON by 22%
-        # (0.3973 vs 0.3248 f/s); batch 16 OOMs at compile (17.0 vs 15.75
-        # GiB) — the edge is in (12, 16)·72·96 and the threshold sits at
-        # the measured fit point (PERF.md round-3 batch/remat sweep).
+        # heuristic: rematerialize UNet stages once activation memory
+        # genuinely stops fitting HBM (remat costs ~an extra UNet forward
+        # per step — 22% at batch 12 on v5e, PERF.md round-3 sweep). The
+        # threshold is derived from the device's reported HBM, anchored at
+        # the measured v5e fit edge (see _remat_auto_threshold).
         eh, ew = img_latents.shape[1], img_latents.shape[2]
-        remat_unet = n * eh * ew > 12 * 72 * 96
+        remat_unet = n * eh * ew > _remat_auto_threshold()
     elif isinstance(cfg.remat_unet, bool):
         remat_unet = cfg.remat_unet
     elif cfg.remat_unet in ("on", "off"):

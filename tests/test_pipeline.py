@@ -245,3 +245,69 @@ def test_remat_unet_string_values_resolve():
 
     with pytest.raises(ValueError, match="remat_unet must be"):
         lowered("never")
+
+
+def test_remat_auto_threshold_scales_with_hbm(monkeypatch):
+    """The 'auto' fit edge is hardware-derived: it scales linearly with the
+    device's bytes_limit around the measured v5e anchor (VERDICT r3 item 3);
+    devices without memory stats fall back to the anchor unchanged."""
+    import jax
+
+    from depth_completion_tpu.pipeline import sampler
+
+    class FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            if self._limit is None:
+                return None
+            return {"bytes_limit": self._limit}
+
+    anchor = sampler._REMAT_ANCHOR_PIXELS
+    v5e = sampler._REMAT_ANCHOR_BYTES
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev(v5e)])
+    assert sampler._remat_auto_threshold() == anchor  # v5e: unchanged
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev(2 * v5e)])
+    assert sampler._remat_auto_threshold() == 2 * anchor
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev(v5e // 2)])
+    assert sampler._remat_auto_threshold() == anchor // 2
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev(None)])
+    assert sampler._remat_auto_threshold() == anchor  # no stats → anchor
+
+
+def test_remat_auto_decision_flips_with_mocked_hbm(monkeypatch):
+    """End-to-end: under a tiny mocked HBM, 'auto' lowers the remat-on
+    program; under a huge one, the remat-off program."""
+    import jax
+    import numpy as np
+
+    from depth_completion_tpu.models.bundle import make_random_bundle
+    from depth_completion_tpu.pipeline import sampler
+    from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
+
+    bundle = make_random_bundle(seed=0)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 255, (1, 32, 48, 3)).astype(np.float32))
+    sparse = np.zeros((1, 32, 48, 1), np.float32)
+    sparse[0, 8, 8, 0] = 5.0
+    sparse = jnp.asarray(sparse)
+
+    def lowered(remat):
+        cfg = SamplerConfig(
+            steps=1, resolution=64, max_depth=120.0, remat_unet=remat
+        )
+        # fresh wrapper per call: jax's lowering cache keys on (function,
+        # static cfg) and would otherwise serve the first "auto" lowering
+        # again after the threshold mock changes
+        fn = lambda b, i, s, c: guided_sample(b, i, s, c)  # noqa: E731
+        return jax.jit(fn, static_argnames=("c",)).lower(
+            bundle, images, sparse, cfg
+        ).as_text()
+
+    on, off = lowered("on"), lowered("off")
+    monkeypatch.setattr(sampler, "_remat_auto_threshold", lambda: 1)
+    assert lowered("auto") == on
+    monkeypatch.setattr(sampler, "_remat_auto_threshold", lambda: 10**12)
+    assert lowered("auto") == off
