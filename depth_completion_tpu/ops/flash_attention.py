@@ -31,6 +31,13 @@ Backward math (standard flash bwd, exp2 domain):
 
 Falls back to `models.layers.attention` (XLA) when Pallas/TPU is not
 available or shapes are tiny (cross-attention with S_kv=2 is a plain matmul).
+
+A/B knobs (DCT_EXP_DOMAIN, DCT_DQ_PARTIALS, DCT_FWD_STREAMS,
+DCT_BWD_STREAMS, DCT_MASK_TAIL, DCT_FLASH_BLOCKS) are read ONCE, at module
+import — setting them afterwards (in a test or notebook) silently does
+nothing. Set them in the process environment before importing the package,
+or reassign the module-level constants directly for in-process experiments.
+DCT_FLASH_BLOCKS is parse-validated at import (4 positive ints).
 """
 
 from __future__ import annotations
@@ -564,11 +571,25 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 # Optional global block-shape override ("bq,bk,bbq,bbk") for full-program
 # sweeps, e.g. DCT_FLASH_BLOCKS=512,768,512,768 makes S=6912 (= 9*768)
-# block-aligned with zero padding.
+# block-aligned with zero padding. Parse-validated here (exactly four
+# positive ints) so a malformed value fails at import with a clear message
+# instead of an opaque unpack error at first call.
 _BLOCKS_ENV = os.environ.get("DCT_FLASH_BLOCKS", "")
-_BLOCKS_OVERRIDE = (
-    tuple(int(x) for x in _BLOCKS_ENV.split(",")) if _BLOCKS_ENV else None
-)
+if _BLOCKS_ENV:
+    try:
+        _BLOCKS_OVERRIDE = tuple(int(x) for x in _BLOCKS_ENV.split(","))
+    except ValueError as _exc:
+        raise ValueError(
+            f"DCT_FLASH_BLOCKS must be 4 comma-separated positive ints "
+            f"(bq,bk,bwd_bq,bwd_bk), got {_BLOCKS_ENV!r}"
+        ) from _exc
+    if len(_BLOCKS_OVERRIDE) != 4 or any(b <= 0 for b in _BLOCKS_OVERRIDE):
+        raise ValueError(
+            f"DCT_FLASH_BLOCKS must be 4 comma-separated positive ints "
+            f"(bq,bk,bwd_bq,bwd_bk), got {_BLOCKS_ENV!r}"
+        )
+else:
+    _BLOCKS_OVERRIDE = None
 
 
 def flash_attention(

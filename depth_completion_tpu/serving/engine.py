@@ -132,6 +132,11 @@ class ServingEngine:
             self.call_kwargs["beta"] = float(beta)
 
         self._queue: queue.Queue[ServeRequest | None] = queue.Queue()
+        # Admitted-but-unresolved requests. Admission is gated on this (not
+        # on qsize()): requests deferred to the worker-local _backlog leave
+        # the queue but are still pending work, so qsize() alone lets total
+        # pending exceed max_queue under mixed-geometry load.
+        self._pending = 0
         # Deferred requests (wrong geometry / session for the batch being
         # collected). Worker-thread-only; served BEFORE the queue so a
         # minority-geometry request cannot be starved by a steady
@@ -194,16 +199,17 @@ class ServingEngine:
                 "dimensions. (sparse frame has no points > 0)"
             )
         # bounded admission: shed load instead of growing an unbounded
-        # backlog (each queued request is ~seconds of device time)
-        if self._queue.qsize() >= self.max_queue:
-            with self._lock:
-                self._stats["rejected"] += 1
-            raise OverloadedError(
-                f"request queue full ({self.max_queue} pending)"
-            )
-        req._enqueued_at = time.monotonic()
+        # backlog (each queued request is ~seconds of device time). Gate on
+        # the pending counter, which also covers worker-deferred requests.
         with self._lock:
+            if self._pending >= self.max_queue:
+                self._stats["rejected"] += 1
+                raise OverloadedError(
+                    f"request queue full ({self.max_queue} pending)"
+                )
+            self._pending += 1
             self._stats["requests"] += 1
+        req._enqueued_at = time.monotonic()
         self._queue.put(req)
         return req
 
@@ -220,21 +226,38 @@ class ServingEngine:
         ).wait(timeout)
 
     def warmup(self, geometries: list[tuple[int, int]]) -> None:
-        """Compile (or cache-load) every (geometry, batch-bucket) program.
+        """Compile (or cache-load) every (geometry, batch-bucket) program,
+        plus the session-carry variant per geometry.
 
         Calls the pipeline directly (no traffic is flowing yet, so the
         single-compute-thread invariant is not at stake) so each bucket
-        size compiles before the first live request can hit it cold."""
+        size compiles before the first live request can hit it cold. The
+        carry program (``pred_latents_prev`` supplied — second frame of any
+        session) is a distinct jit signature; without warming it, the first
+        carry frame would trigger a cold compile (minutes at production
+        geometry) on the compute thread, stalling all traffic behind it."""
         rng = np.random.default_rng(0)
         for h, w in geometries:
             img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
             sparse = np.zeros((h, w, 1), np.float32)
             sparse[h // 2, w // 2, 0] = 1.0
             sparse[h // 4, w // 4, 0] = self.call_kwargs["max_depth"] / 2
+            latents = None
             for b in self.batch_buckets:
-                self.pipe(
+                _, lat = self.pipe(
                     np.repeat(img[None], b, 0),
                     np.repeat(sparse[None], b, 0),
+                    **self.call_kwargs,
+                )
+                if latents is None or b == 1:
+                    latents = np.asarray(lat)[:1]
+            # carry variant (sessions run unbatched, so batch 1 suffices);
+            # the just-returned latents have exactly the carry's shape
+            if latents is not None:
+                self.pipe(
+                    img[None],
+                    sparse[None],
+                    pred_latents_prev=latents,
                     **self.call_kwargs,
                 )
         self._warm = True
@@ -254,6 +277,8 @@ class ServingEngine:
             out["latency_s_p50"] = round(lats[len(lats) // 2], 4)
             out["latency_s_p95"] = round(lats[int(len(lats) * 0.95)], 4)
         out["queue_depth"] = self._queue.qsize() + len(self._backlog)
+        with self._lock:
+            out["pending"] = self._pending
         return out
 
     def reset_session(self, session: str) -> bool:
@@ -269,6 +294,16 @@ class ServingEngine:
 
     # ------------------------------------------------------------- worker
 
+    def _resolve(self, req: ServeRequest, error: Exception | None = None) -> None:
+        """Resolve a request (success fields already set, or an error) and
+        release its admission slot. Every _done.set() goes through here so
+        the pending counter stays exact."""
+        if error is not None:
+            req._error = error
+        with self._lock:
+            self._pending -= 1
+        req._done.set()
+
     def _reap_cancelled(self, req: ServeRequest) -> bool:
         """True if the request was abandoned by its waiter; resolve it
         without device work."""
@@ -276,8 +311,7 @@ class ServingEngine:
             return False
         with self._lock:
             self._stats["cancelled"] += 1
-        req._error = RuntimeError("request cancelled by caller")
-        req._done.set()
+        self._resolve(req, RuntimeError("request cancelled by caller"))
         return True
 
     def _collect_batch(self, first: ServeRequest) -> list[ServeRequest]:
@@ -338,16 +372,13 @@ class ServingEngine:
                 with self._lock:
                     self._stats["errors"] += len(batch)
                 for r in batch:
-                    r._error = exc
-                    r._done.set()
+                    self._resolve(r, exc)
             self._sweep_sessions()
         # fail any requests still deferred at shutdown instead of letting
         # their waiters hang until timeout
         exc_ = RuntimeError("serving engine shut down")
         while self._backlog:
-            r = self._backlog.popleft()
-            r._error = exc_
-            r._done.set()
+            self._resolve(self._backlog.popleft(), exc_)
 
     def _sweep_sessions(self) -> None:
         """Drop expired carry latents for ALL sessions (not only re-used
@@ -419,8 +450,7 @@ class ServingEngine:
                 with self._lock:
                     self._stats["errors"] += len(batch)
                 for r in batch:
-                    r._error = exc
-                    r._done.set()
+                    self._resolve(r, exc)
                 continue
             done_at = time.monotonic()
             with self._lock:
@@ -438,4 +468,4 @@ class ServingEngine:
             for i, r in enumerate(batch):
                 r._result = denses[i]
                 r._batch_size = n
-                r._done.set()
+                self._resolve(r)

@@ -99,10 +99,17 @@ class _Handler(BaseHTTPRequestHandler):
             dense = req.wait(timeout=self.request_timeout_s)
         except (ValueError, TimeoutError, OverloadedError) as exc:
             # invalid input (e.g. the reference's empty-sparse contract,
-            # pipeline.py:88-97) or an overloaded server
+            # pipeline.py:88-97), a timed-out wait, or an overloaded server.
+            # Timeout is 504 (the work may still complete; retry-now is
+            # wrong) vs 503 for load shedding (retry against another
+            # replica is right).
             if isinstance(exc, TimeoutError):
                 req.cancel()  # don't burn device time on an answer nobody reads
-            code = 422 if isinstance(exc, ValueError) else 503
+                code = 504
+            elif isinstance(exc, ValueError):
+                code = 422
+            else:
+                code = 503
             self._json(code, {"error": str(exc)})
             return
         except Exception as exc:  # engine/device failure re-raised by wait()

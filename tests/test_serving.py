@@ -331,9 +331,13 @@ def test_engine_batch_buckets():
     release = threading.Event()
     batch_dims: list[int] = []
 
+    carry_calls: list[int] = []
+
     class _Pipe:
         def __call__(self, images, sparses, **k):
             batch_dims.append(images.shape[0])
+            if "pred_latents_prev" in k:
+                carry_calls.append(images.shape[0])
             if len(batch_dims) == 1:  # only the first call blocks
                 entered.set()
                 release.wait(60)
@@ -361,10 +365,14 @@ def test_engine_batch_buckets():
         assert stats["padded_rows"] == 1
         progs = [tuple(p) for p in stats["compiled_programs"]]
         assert (H, W, 1) in progs and (H, W, 4) in progs
-        # warmup compiles every bucket for the geometry
+        # warmup compiles every bucket for the geometry, plus the
+        # session-carry variant (batch 1 with pred_latents_prev) so the
+        # second frame of the first live session never compiles cold on
+        # the compute thread
         batch_dims.clear()
         eng.warmup([(H, W)])
-        assert batch_dims == [1, 4]
+        assert batch_dims == [1, 4, 1]
+        assert carry_calls == [1]
     finally:
         release.set()
         eng.shutdown()
@@ -427,8 +435,10 @@ def test_http_engine_error_returns_500():
 
 
 def test_engine_load_shedding():
-    """Beyond max_queue pending requests, submit() sheds with
-    OverloadedError (HTTP 503 at the server layer)."""
+    """Beyond max_queue PENDING requests (admitted and unresolved —
+    in-flight, queued, or worker-deferred), submit() sheds with
+    OverloadedError (HTTP 503 at the server layer); slots free as
+    requests resolve."""
     from depth_completion_tpu.serving import OverloadedError
 
     entered = threading.Event()
@@ -450,12 +460,90 @@ def test_engine_load_shedding():
         img, sp = _frame(0)
         first = eng.submit(ServeRequest(image=img, sparse=sp))
         assert entered.wait(10)  # worker is now inside the pipe call
-        eng.submit(ServeRequest(image=img, sparse=sp))  # queued 1
-        eng.submit(ServeRequest(image=img, sparse=sp))  # queued 2
+        queued = eng.submit(ServeRequest(image=img, sparse=sp))  # pending 2
         with pytest.raises(OverloadedError, match="queue full"):
             eng.submit(ServeRequest(image=img, sparse=sp))
         assert eng.stats()["rejected"] == 1
-    finally:
+        assert eng.stats()["pending"] == 2
         release.set()
         first.wait(30)
+        queued.wait(30)
+        # resolved requests release their admission slots
+        deadline = __import__("time").monotonic() + 5
+        while eng.stats()["pending"] and __import__("time").monotonic() < deadline:
+            __import__("time").sleep(0.01)
+        assert eng.stats()["pending"] == 0
+        eng.complete(img, sp, timeout=30)  # admitted again
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_engine_pending_counts_backlog():
+    """Worker-deferred (minority-geometry) requests still hold admission
+    slots: total pending work cannot exceed max_queue even though they
+    left the queue for the worker-local backlog."""
+    from depth_completion_tpu.serving import OverloadedError
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            entered.set()
+            release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(),
+        dict(max_depth=120.0),
+        max_batch=2,
+        max_delay_ms=2000.0,  # wide window: b is deterministically deferred
+        max_queue=3,
+    )
+    try:
+        img_a, sp_a = _frame(0)
+        img_b, sp_b = _frame(1, h=W, w=H)  # minority geometry
+        # worker takes `first`, then collects batchmates for its geometry:
+        # b is popped and deferred to the backlog, a2 fills the batch, the
+        # pipe call blocks. Now qsize()==0, backlog==[b], in-flight==2.
+        first = eng.submit(ServeRequest(image=img_a, sparse=sp_a))
+        b_req = eng.submit(ServeRequest(image=img_b, sparse=sp_b))
+        a2 = eng.submit(ServeRequest(image=img_a, sparse=sp_a))
+        assert entered.wait(10)
+        assert eng.stats()["pending"] == 3
+        # the old qsize() gate saw 0 here and would have over-admitted
+        with pytest.raises(OverloadedError, match="queue full"):
+            eng.submit(ServeRequest(image=img_a, sparse=sp_a))
+        release.set()
+        for r in (first, b_req, a2):
+            r.wait(30)
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_http_timeout_returns_504():
+    """A client-side wait timeout is 504 (work may still complete), NOT
+    503 (load shedding, retry-now) — load balancers treat them differently."""
+    entered = threading.Event()
+    release = threading.Event()
+
+    class _SlowPipe:
+        def __call__(self, images, sparses, **k):
+            entered.set()
+            release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_SlowPipe(), dict(max_depth=120.0), max_batch=1)
+    srv = make_server(eng, host="127.0.0.1", port=0, request_timeout_s=0.2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img, sp = _frame(0)
+        status, data, _ = _post(srv, "/v1/complete", _npz_payload(img, sp))
+        assert status == 504 and b"timed out" in data
+    finally:
+        release.set()
+        srv.shutdown()
         eng.shutdown()
