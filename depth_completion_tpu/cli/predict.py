@@ -164,8 +164,17 @@ from depth_completion_tpu.logger import LOG_LEVELS, logger
               help="Ensemble members per frame (median/alignment reduce; "
               "members shard over the device mesh). New capability beyond "
               "the reference's single-member path (marigold_dc.py:696-698).")
-@click.option("--ensemble-reduce", type=click.Choice(["median", "mean"]),
-              default="median", show_default=True, help="Ensemble reduction.")
+@click.option("--ensemble-reduce",
+              type=click.Choice(["median", "mean", "aligned-median", "aligned-mean"]),
+              default="median", show_default=True,
+              help="Ensemble reduction. aligned-* first least-squares "
+              "scale/shift-aligns every member to the elementwise member "
+              "median (Marigold-style inter-member alignment; the BASELINE "
+              "KITTI config's 'median/alignment reduce').")
+@click.option("--ensemble-uncertainty", type=bool, default=False, show_default=True,
+              help="Also save a per-pixel ensemble uncertainty map (member "
+              "median absolute deviation around the reduced depth) under "
+              "uncertainty/ next to dense/. Requires --ensemble>1.")
 @click.option("--mesh-model", type=click.IntRange(min=1), default=1, show_default=True,
               help="Tensor-parallel axis size of the device mesh (weights "
               "sharded over attention heads/MLP channels). Remaining devices "
@@ -242,6 +251,7 @@ def run_predict(
     num_shards: int = 1,
     ensemble: int = 1,
     ensemble_reduce: str = "median",
+    ensemble_uncertainty: bool = False,
     mesh_model: int = 1,
     native_res: bool = False,
     fast_guidance: bool = False,
@@ -305,6 +315,11 @@ def run_predict(
             "Falling back to --ensemble=1"
         )
         ensemble = 1
+    if ensemble_uncertainty and ensemble <= 1:
+        logger.warning(
+            "--ensemble-uncertainty requires --ensemble>1; disabled"
+        )
+        ensemble_uncertainty = False
     loss_funcs, norm, train_latents, closed_form = coerce_guidance_options(
         loss_funcs, norm, projection, inv, model, train_latents, closed_form
     )
@@ -611,7 +626,7 @@ def run_predict(
             if profiling:
                 jax.profiler.start_trace(str(profile_dir))
             stime_infer = time.time()
-            denses, latents = pipe(
+            out = pipe(
                 batch_imgs,
                 batch_sparses,
                 max_depth,
@@ -638,9 +653,16 @@ def run_predict(
                 scheduler=scheduler,
                 ensemble_size=ensemble,
                 ensemble_reduce=ensemble_reduce,
+                ensemble_uncertainty=ensemble_uncertainty,
                 ensemble_mesh=mesh,
                 ring_mesh=mesh if native_res else None,
                 detach_unet_grad=fast_guidance,
+            )
+            denses, latents = out[0], out[1]
+            uncs_np = (
+                np.asarray(out[2], dtype=np.float32)[:n_real]
+                if len(out) == 3
+                else None
             )
             denses_np = np.asarray(denses, dtype=np.float32)[:n_real]
             if profiling:
@@ -658,12 +680,14 @@ def run_predict(
             postfix["time/infer"] = time.time() - stime_infer
 
             time_vis = 0.0
-            for dense, sparse, sparse_path, img, img_path in zip(
-                denses_np,
-                batch_sparses[:n_real],
-                b_sparse_paths,
-                batch_imgs[:n_real],
-                b_img_paths,
+            for fi, (dense, sparse, sparse_path, img, img_path) in enumerate(
+                zip(
+                    denses_np,
+                    batch_sparses[:n_real],
+                    b_sparse_paths,
+                    batch_imgs[:n_real],
+                    b_img_paths,
+                )
             ):
                 if has_nan(dense):
                     logger.error("NaN values found in dense depth map (skipped)")
@@ -675,6 +699,15 @@ def run_predict(
                     ).parent
                     save_path = save_dir / sparse_path.with_suffix(f".{compress}").name
                     save_array(dense, save_path, compress=compress)
+                    if uncs_np is not None:
+                        unc_dir = (
+                            out_dir / "uncertainty" / sparse_path.relative_to(sparse_dir)
+                        ).parent
+                        save_array(
+                            uncs_np[fi],
+                            unc_dir / sparse_path.with_suffix(f".{compress}").name,
+                            compress=compress,
+                        )
                     time_io += time.time() - stime
                 if vis:
                     stime = time.time()

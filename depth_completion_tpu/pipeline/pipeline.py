@@ -25,16 +25,26 @@ from depth_completion_tpu.pipeline.sampler import SamplerConfig, guided_sample
 _jitted_sample = jax.jit(guided_sample, static_argnames=("cfg",))
 
 
-def _ensemble(bundle, images, sparses, cfg, ensemble_size, reduce, mesh):
+def _ensemble(
+    bundle, images, sparses, cfg, ensemble_size, reduce, mesh, uncertainty
+):
     from depth_completion_tpu.parallel.ensemble import ensemble_sample
 
     return ensemble_sample(
-        bundle, images, sparses, cfg, ensemble_size, reduce, mesh=mesh
+        bundle,
+        images,
+        sparses,
+        cfg,
+        ensemble_size,
+        reduce,
+        mesh=mesh,
+        return_uncertainty=uncertainty,
     )
 
 
 _jitted_ensemble = jax.jit(
-    _ensemble, static_argnames=("cfg", "ensemble_size", "reduce", "mesh")
+    _ensemble,
+    static_argnames=("cfg", "ensemble_size", "reduce", "mesh", "uncertainty"),
 )
 
 
@@ -121,6 +131,9 @@ class DepthCompletionPipeline:
         ensemble_size = int(config_overrides.pop("ensemble_size", 1))
         ensemble_reduce = config_overrides.pop("ensemble_reduce", "median")
         ensemble_mesh = config_overrides.pop("ensemble_mesh", None)
+        ensemble_uncertainty = bool(
+            config_overrides.pop("ensemble_uncertainty", False)
+        )
         # schedule from the checkpoint unless explicitly overridden
         if "ddim" not in config_overrides and self.bundle.ddim_config is not None:
             config_overrides["ddim"] = self.bundle.ddim_config
@@ -153,7 +166,7 @@ class DepthCompletionPipeline:
                 raise ValueError(
                     "temporal latent carry is not supported with ensembling"
                 )
-            denses, members = _jitted_ensemble(
+            out = _jitted_ensemble(
                 self.bundle,
                 images,
                 sparses,
@@ -161,11 +174,13 @@ class DepthCompletionPipeline:
                 ensemble_size=ensemble_size,
                 reduce=ensemble_reduce,
                 mesh=ensemble_mesh,
+                uncertainty=ensemble_uncertainty,
             )
             # a single "final latent" is ill-defined across members, so the
             # second return is the per-member denses (diagnostics / custom
-            # reduces) instead of latents
-            return denses, members
+            # reduces) instead of latents; with ensemble_uncertainty=True a
+            # third output (per-pixel member MAD [N,H,W,1]) is appended
+            return out
 
         return _jitted_sample(
             self.bundle, images, sparses, cfg, pred_latents_prev
