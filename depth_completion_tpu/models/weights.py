@@ -287,3 +287,126 @@ def convert_text_encoder_state(
 
 def load_text_encoder(path: Path, dtype=jnp.bfloat16) -> dict:
     return convert_text_encoder_state(load_safetensors_dir(path), dtype)
+
+
+# ---------------------------------------------------------------------------
+# Export: our pytrees → diffusers-layout state dicts (the converse of the
+# converters above). Used to write HF-layout checkpoints (e.g. the full-size
+# synthetic readiness drill, scripts/make_synthetic_checkpoint.py) and to
+# hand weights back to torch-side tooling. Round-trip (export → convert)
+# is tested bit-exact per family in tests/test_weights.py.
+# ---------------------------------------------------------------------------
+
+def _flatten_tree(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, prefix + (k,)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_tree(v, prefix + (i,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _export_leaf(key: str, leaf_name: str, arr: np.ndarray) -> tuple[str, np.ndarray]:
+    """Map one of our leaves to (diffusers key, torch-convention array)."""
+    if leaf_name == "kernel":
+        if arr.ndim == 4:
+            return key.replace("kernel", "weight"), np.transpose(arr, (3, 2, 0, 1))
+        return key.replace("kernel", "weight"), np.transpose(arr, (1, 0))
+    if leaf_name == "scale":  # norm scale
+        return key.replace("scale", "weight"), arr
+    return key, arr  # bias / embeddings
+
+
+def to_diffusers_unet_state(tree) -> dict[str, np.ndarray]:
+    """Our UNet pytree → diffusers ``UNet2DConditionModel`` state dict."""
+    state = {}
+    for path, leaf in _flatten_tree(tree).items():
+        key = ".".join(str(p) for p in path)
+        key = key.replace("downsampler.", "downsamplers.0.conv.")
+        key = key.replace("upsampler.", "upsamplers.0.conv.")
+        if ".attentions." in key:
+            key = key.replace("blocks.", "transformer_blocks.")
+        key = key.replace("to_out.", "to_out.0.")
+        key = key.replace("ff.proj_in.", "ff.net.0.proj.")
+        key = key.replace("ff.proj_out.", "ff.net.2.")
+        key, arr = _export_leaf(key, str(path[-1]), np.asarray(leaf))
+        state[key] = arr
+    return state
+
+
+def to_diffusers_vae_state(tree) -> dict[str, np.ndarray]:
+    """Our KL-VAE pytree → diffusers ``AutoencoderKL`` state dict."""
+    state = {}
+    for path, leaf in _flatten_tree(tree).items():
+        key = ".".join(str(p) for p in path)
+        key = key.replace("downsampler.", "downsamplers.0.conv.")
+        key = key.replace("upsampler.", "upsamplers.0.conv.")
+        key = key.replace("to_out.", "to_out.0.")
+        key, arr = _export_leaf(key, str(path[-1]), np.asarray(leaf))
+        state[key] = arr
+    return state
+
+
+def to_diffusers_taesd_state(
+    tree, encoder_blocks=(1, 3, 3, 3), decoder_blocks=(3, 3, 3, 1)
+) -> dict[str, np.ndarray]:
+    """Our TAESD pytree → diffusers ``AutoencoderTiny`` state dict."""
+    enc_map, dec_map = _taesd_layer_index_maps(encoder_blocks, decoder_blocks)
+    rev = {
+        side: {tuple(p): i for i, p in m.items()}
+        for side, m in (("encoder", enc_map), ("decoder", dec_map))
+    }
+    conv_pos = {"conv1": "0", "conv2": "2", "conv3": "4"}
+    state = {}
+    for side in ("encoder", "decoder"):
+        for path, leaf in _flatten_tree(tree[side]).items():
+            arr = np.asarray(leaf)
+            leaf_name = str(path[-1])
+            if path[-2] in conv_pos:  # block conv: (base..., convN, leaf)
+                base, tail = tuple(path[:-2]), f"conv.{conv_pos[path[-2]]}"
+            else:  # plain layer: (base..., leaf)
+                base, tail = tuple(path[:-1]), None
+            idx = rev[side][base]
+            name = "weight" if leaf_name == "kernel" else leaf_name
+            if leaf_name == "kernel":
+                arr = np.transpose(arr, (3, 2, 0, 1))
+            key = f"{side}.layers.{idx}." + (f"{tail}.{name}" if tail else name)
+            state[key] = arr
+    return state
+
+
+def to_transformers_text_encoder_state(tree) -> dict[str, np.ndarray]:
+    """Our CLIP text pytree → transformers ``CLIPTextModel`` state dict."""
+    mod_of = {
+        "q_proj": "self_attn", "k_proj": "self_attn", "v_proj": "self_attn",
+        "out_proj": "self_attn", "fc1": "mlp", "fc2": "mlp",
+    }
+    state = {
+        "text_model.embeddings.token_embedding.weight": np.asarray(
+            tree["token_embedding"]
+        ),
+        "text_model.embeddings.position_embedding.weight": np.asarray(
+            tree["position_embedding"]
+        ),
+        "text_model.final_layer_norm.weight": np.asarray(
+            tree["final_layer_norm"]["scale"]
+        ),
+        "text_model.final_layer_norm.bias": np.asarray(
+            tree["final_layer_norm"]["bias"]
+        ),
+    }
+    for i, layer in enumerate(tree["layers"]):
+        base = f"text_model.encoder.layers.{i}"
+        for name, leaves in layer.items():
+            if name in mod_of:
+                w = np.asarray(leaves["kernel"])
+                state[f"{base}.{mod_of[name]}.{name}.weight"] = np.transpose(w, (1, 0))
+                state[f"{base}.{mod_of[name]}.{name}.bias"] = np.asarray(leaves["bias"])
+            else:  # layer_norm1 / layer_norm2
+                state[f"{base}.{name}.weight"] = np.asarray(leaves["scale"])
+                state[f"{base}.{name}.bias"] = np.asarray(leaves["bias"])
+    return state

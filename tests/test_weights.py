@@ -237,6 +237,99 @@ def test_text_encoder_state_roundtrip():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def _assert_trees_equal(a, b):
+    fa, fb = _flatten(a), _flatten(b)
+    assert set(fa) == set(fb), (
+        f"missing: {sorted(set(fa) - set(fb))[:5]} "
+        f"extra: {sorted(set(fb) - set(fa))[:5]}"
+    )
+    for p in fa:
+        np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fb[p]), err_msg=str(p))
+
+
+def test_unet_export_convert_roundtrip():
+    """Exporter inverse: our tree → diffusers state → our tree, bit-exact.
+    This is what makes the full-size synthetic checkpoint drill
+    (scripts/make_synthetic_checkpoint.py) a faithful stand-in for the
+    real HF layout."""
+    cfg = registry.TINY_UNET_CONFIG
+    ours = init_unet(jax.random.PRNGKey(1), cfg)
+    state = weights.to_diffusers_unet_state(ours)
+    # keys look like diffusers keys (spot checks)
+    assert "conv_in.weight" in state
+    assert any("transformer_blocks.0.attn1.to_out.0.weight" in k for k in state)
+    back = weights.convert_unet_state(state, dtype=jnp.float32)
+    _assert_trees_equal(ours, back)
+
+
+def test_vae_export_convert_roundtrip():
+    cfg = registry.TINY_VAE_CONFIG
+    ours = vae_kl.init_vae(jax.random.PRNGKey(2), cfg)
+    back = weights.convert_vae_state(
+        weights.to_diffusers_vae_state(ours), dtype=jnp.float32
+    )
+    _assert_trees_equal(ours, back)
+
+
+def test_taesd_export_convert_roundtrip():
+    cfg = registry.TINY_TAESD_CONFIG
+    ours = vae_tiny.init_taesd(jax.random.PRNGKey(3), cfg)
+    state = weights.to_diffusers_taesd_state(
+        ours, encoder_blocks=cfg.encoder_blocks, decoder_blocks=cfg.decoder_blocks
+    )
+    assert "encoder.layers.0.weight" in state
+    back = weights.convert_taesd_state(
+        state,
+        encoder_blocks=cfg.encoder_blocks,
+        decoder_blocks=cfg.decoder_blocks,
+        dtype=jnp.float32,
+    )
+    _assert_trees_equal(ours, back)
+
+
+def test_text_encoder_export_convert_roundtrip():
+    from depth_completion_tpu.models.clip_text import init_text_encoder
+
+    cfg = registry.TINY_TEXT_CONFIG
+    ours = init_text_encoder(jax.random.PRNGKey(4), cfg)
+    state = weights.to_transformers_text_encoder_state(ours)
+    assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in state
+    back = weights.convert_text_encoder_state(state, dtype=jnp.float32)
+    _assert_trees_equal(ours, back)
+
+
+def test_text_encoder_export_matches_real_transformers_inventory():
+    """The exporter's key inventory must equal the REAL transformers
+    CLIPTextModel state dict for the same geometry — an independent check
+    of the text-tower layout (transformers is the reference's own dep,
+    reference requirements.txt:6)."""
+    pytest.importorskip("transformers")
+    import transformers
+
+    cfg = registry.TINY_TEXT_CONFIG
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+    )
+    hf_keys = {
+        k for k in transformers.CLIPTextModel(hf_cfg).state_dict()
+        if not k.endswith("position_ids")  # buffer, not a parameter
+    }
+    from depth_completion_tpu.models.clip_text import init_text_encoder
+
+    ours = weights.to_transformers_text_encoder_state(
+        init_text_encoder(jax.random.PRNGKey(0), cfg)
+    )
+    assert set(ours) == hf_keys, (
+        f"missing: {sorted(hf_keys - set(ours))[:5]} "
+        f"extra: {sorted(set(ours) - hf_keys)[:5]}"
+    )
+
+
 def test_safetensors_file_roundtrip(tmp_path):
     from safetensors.numpy import save_file
 
