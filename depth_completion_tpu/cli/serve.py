@@ -125,6 +125,12 @@ def _parse_geometry(value: str) -> tuple[int, int]:
 @click.option("--warmup", type=CommaSeparated(str), default=None,
               help="Comma-separated HxW geometries to compile before "
               "accepting traffic, e.g. 480x640,352x1216.")
+@click.option("--max-programs", type=click.IntRange(min=1), default=None,
+              help="Bound the number of live compiled (geometry, bucket) "
+              "programs; least-recently-used programs are evicted to free "
+              "their device memory. Default: unbounded (batch-job "
+              "behavior). Size it to >= geometries x (buckets+1) you want "
+              "permanently warm.")
 @click.option("--log", type=click.Path(path_type=Path), default=None,
               show_default=True, help="Path to save logs.")
 @click.option("--log-level", type=click.Choice(LOG_LEVELS), default="INFO",
@@ -165,6 +171,7 @@ def run_serve(
     session_ttl: float,
     max_queue: int,
     warmup: list[str] | None,
+    max_programs: int | None,
     log: Path | None,
     log_level: str,
     *,
@@ -192,7 +199,7 @@ def run_serve(
     from depth_completion_tpu.pipeline import DepthCompletionPipeline
 
     bundle = init_bundle(model, checkpoint_dir, taesd_dir, vae, precision)
-    pipe = DepthCompletionPipeline(bundle)
+    pipe = DepthCompletionPipeline(bundle, max_programs=max_programs)
     logger.info(f"Devices: {jax.devices()}")
 
     from depth_completion_tpu.serving.engine import ServingEngine

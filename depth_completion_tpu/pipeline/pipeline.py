@@ -13,6 +13,7 @@ them host-side when saving). A `from_nchw` helper eases porting.
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 from typing import Any
 
 import jax
@@ -65,8 +66,37 @@ class DepthCompletionPipeline:
     the final latents for temporal carry.
     """
 
-    def __init__(self, bundle: ModelBundle):
+    def __init__(self, bundle: ModelBundle, max_programs: int | None = None):
+        """``max_programs``: bound the number of live compiled programs.
+
+        Default (None) shares the module-level jit wrappers — programs for
+        every (geometry, batch, config) signature stay cached for the
+        process lifetime, which is right for batch jobs. A long-running
+        server over a mixed-geometry stream instead passes a bound: each
+        signature gets a PRIVATE jit wrapper held in an LRU dict, so
+        evicting the least-recently-used wrapper frees its compiled
+        executable (and the device memory the program text occupies).
+        Not thread-safe by itself — the serving engine's single dispatch
+        thread (serving/engine.py) is the intended caller.
+        """
         self.bundle = bundle
+        self.max_programs = max_programs
+        self._programs: "OrderedDict[tuple, Any]" = OrderedDict()
+
+    def program_keys(self) -> list[tuple]:
+        """Live private-program signatures, oldest first (diagnostics)."""
+        return list(self._programs)
+
+    def _lru_program(self, key: tuple, make):
+        fn = self._programs.get(key)
+        if fn is None:
+            fn = make()
+            self._programs[key] = fn
+            while len(self._programs) > self.max_programs:
+                self._programs.popitem(last=False)  # executable freed w/ wrapper
+        else:
+            self._programs.move_to_end(key)
+        return fn
 
     def __call__(
         self,
@@ -166,7 +196,24 @@ class DepthCompletionPipeline:
                 raise ValueError(
                     "temporal latent carry is not supported with ensembling"
                 )
-            out = _jitted_ensemble(
+            ens_fn = _jitted_ensemble
+            if self.max_programs is not None:
+                key = (
+                    "ensemble", tuple(images.shape), cfg,
+                    ensemble_size, ensemble_reduce, ensemble_mesh,
+                    ensemble_uncertainty,
+                )
+                ens_fn = self._lru_program(
+                    key,
+                    lambda: jax.jit(
+                        _ensemble,
+                        static_argnames=(
+                            "cfg", "ensemble_size", "reduce", "mesh",
+                            "uncertainty",
+                        ),
+                    ),
+                )
+            out = ens_fn(
                 self.bundle,
                 images,
                 sparses,
@@ -182,9 +229,19 @@ class DepthCompletionPipeline:
             # third output (per-pixel member MAD [N,H,W,1]) is appended
             return out
 
-        return _jitted_sample(
-            self.bundle, images, sparses, cfg, pred_latents_prev
-        )
+        fn = _jitted_sample
+        if self.max_programs is not None:
+            carry_shape = (
+                tuple(pred_latents_prev.shape)
+                if pred_latents_prev is not None
+                else None
+            )
+            key = ("sample", tuple(images.shape), cfg, carry_shape)
+            fn = self._lru_program(
+                key,
+                lambda: jax.jit(guided_sample, static_argnames=("cfg",)),
+            )
+        return fn(self.bundle, images, sparses, cfg, pred_latents_prev)
 
     def replace_bundle(self, **changes: Any) -> "DepthCompletionPipeline":
         return DepthCompletionPipeline(dataclasses.replace(self.bundle, **changes))

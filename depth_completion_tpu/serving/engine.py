@@ -16,6 +16,13 @@ Design (TPU-first):
   are computed and discarded — at guided-diffusion cost per frame
   (~seconds), waiting `max_delay_ms` for batchmates is cheap and batch
   amortization is measured (+12% at batch 8, PERF.md round-3).
+- Multi-geometry streams: each geometry has its own FIFO queue and batch
+  rounds are dispatched round-robin across non-empty queues, so a
+  KITTI+NYU mixed stream interleaves at the batch level instead of one
+  geometry head-of-line blocking the other. Pair with a pipeline built
+  with ``max_programs=N`` to hold N warm compiled programs with LRU
+  eviction (pipeline/pipeline.py) when geometry diversity would otherwise
+  grow program memory without bound.
 - Sessions: a video stream passes `session=<id>` and the engine carries
   the previous frame's final latent into the next request
   (`beta*common_noise + (1-beta)*prev`, reference marigold_dc.py:699-704,
@@ -131,17 +138,19 @@ class ServingEngine:
         if beta is not None:
             self.call_kwargs["beta"] = float(beta)
 
-        self._queue: queue.Queue[ServeRequest | None] = queue.Queue()
-        # Admitted-but-unresolved requests. Admission is gated on this (not
-        # on qsize()): requests deferred to the worker-local _backlog leave
-        # the queue but are still pending work, so qsize() alone lets total
-        # pending exceed max_queue under mixed-geometry load.
+        # Per-geometry FIFO queues with round-robin dispatch: each batch
+        # round serves the next non-empty geometry, so a steady stream of
+        # one geometry cannot head-of-line block another (KITTI+NYU mixed
+        # streams interleave 1:1 at the batch level), and batch collection
+        # never skips over foreign-geometry requests. Guarded by _cv;
+        # lock nesting is always _cv → _lock (submit touches them
+        # disjointly), never the reverse.
+        self._cv = threading.Condition()
+        self._queues: dict[tuple[int, int], deque[ServeRequest]] = {}
+        self._rr: deque[tuple[int, int]] = deque()  # round-robin key order
+        # Admitted-but-unresolved requests. Admission is gated on this
+        # exact counter — queued, collected, and in-flight work all count.
         self._pending = 0
-        # Deferred requests (wrong geometry / session for the batch being
-        # collected). Worker-thread-only; served BEFORE the queue so a
-        # minority-geometry request cannot be starved by a steady
-        # same-geometry stream re-queueing it behind newer arrivals.
-        self._backlog: deque[ServeRequest] = deque()
         self._sessions: dict[str, tuple[np.ndarray, float]] = {}
         self._lock = threading.Lock()
         self._stats = {
@@ -210,7 +219,14 @@ class ServingEngine:
             self._pending += 1
             self._stats["requests"] += 1
         req._enqueued_at = time.monotonic()
-        self._queue.put(req)
+        with self._cv:
+            key = tuple(req.image.shape[:2])
+            q = self._queues.get(key)
+            if q is None:
+                q = self._queues[key] = deque()
+                self._rr.append(key)
+            q.append(req)
+            self._cv.notify()
         return req
 
     def complete(
@@ -276,9 +292,15 @@ class ServingEngine:
         if lats:
             out["latency_s_p50"] = round(lats[len(lats) // 2], 4)
             out["latency_s_p95"] = round(lats[int(len(lats) * 0.95)], 4)
-        out["queue_depth"] = self._queue.qsize() + len(self._backlog)
+        with self._cv:
+            out["queue_depth"] = sum(len(q) for q in self._queues.values())
+            out["geometry_queues"] = {
+                f"{h}x{w}": len(q) for (h, w), q in self._queues.items() if q
+            }
         with self._lock:
             out["pending"] = self._pending
+        if hasattr(self.pipe, "program_keys"):
+            out["pipe_programs"] = len(self.pipe.program_keys())
         return out
 
     def reset_session(self, session: str) -> bool:
@@ -287,7 +309,8 @@ class ServingEngine:
 
     def shutdown(self, timeout: float = 10.0) -> None:
         self._stop = True
-        self._queue.put(None)
+        with self._cv:
+            self._cv.notify_all()
         self._thread.join(timeout)
         self._finish.put(None)
         self._finisher.join(timeout)
@@ -314,53 +337,55 @@ class ServingEngine:
         self._resolve(req, RuntimeError("request cancelled by caller"))
         return True
 
+    def _next_request(self) -> ServeRequest | None:
+        """Next request, round-robin across geometry queues; blocks until
+        one is available or shutdown (returns None)."""
+        with self._cv:
+            while True:
+                for _ in range(len(self._rr)):
+                    key = self._rr[0]
+                    self._rr.rotate(-1)  # next round starts after this key
+                    q = self._queues.get(key)
+                    if q:
+                        return q.popleft()
+                if self._stop:
+                    return None
+                self._cv.wait(timeout=0.5)
+
     def _collect_batch(self, first: ServeRequest) -> list[ServeRequest]:
-        """Greedily gather same-geometry, sessionless batchmates until
-        max_batch or the delay deadline. Session (carry) requests always
-        run alone — the carry latent is a whole-batch input."""
+        """Greedily gather same-geometry, sessionless batchmates from the
+        geometry's own queue until max_batch or the delay deadline.
+        Session (carry) requests always run alone — the carry latent is a
+        whole-batch input — and keep their FIFO slot: collection stops at
+        a session head rather than jumping past it."""
         batch = [first]
         if first.session is not None or self.max_batch <= 1:
             return batch
-        geo = first.image.shape[:2]
-        # previously-deferred batchmates first (they are older than
-        # anything still in the queue)
-        kept: deque[ServeRequest] = deque()
-        while self._backlog and len(batch) < self.max_batch:
-            r = self._backlog.popleft()
-            if self._reap_cancelled(r):
-                continue
-            if r.session is None and r.image.shape[:2] == geo:
-                batch.append(r)
-            else:
-                kept.append(r)
-        kept.extend(self._backlog)
-        self._backlog = kept
+        key = tuple(first.image.shape[:2])
         deadline = time.monotonic() + self.max_delay_ms / 1e3
-        while len(batch) < self.max_batch:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
-            try:
-                nxt = self._queue.get(timeout=remaining)
-            except queue.Empty:
-                break
-            if nxt is None:  # shutdown sentinel: put it back, finish batch
-                self._queue.put(None)
-                break
-            if self._reap_cancelled(nxt):
-                continue
-            if nxt.session is None and nxt.image.shape[:2] == geo:
-                batch.append(nxt)
-            else:
-                self._backlog.append(nxt)  # served first next round
+        with self._cv:
+            q = self._queues[key]
+            while len(batch) < self.max_batch:
+                while q and len(batch) < self.max_batch:
+                    nxt = q[0]
+                    if nxt._cancelled:
+                        q.popleft()
+                        self._reap_cancelled(nxt)
+                        continue
+                    if nxt.session is not None:
+                        return batch  # runs alone next round, in order
+                    batch.append(q.popleft())
+                if len(batch) >= self.max_batch or self._stop:
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
         return batch
 
     def _worker(self) -> None:
-        while not self._stop:
-            if self._backlog:
-                first: ServeRequest | None = self._backlog.popleft()
-            else:
-                first = self._queue.get()
+        while True:
+            first = self._next_request()
             if first is None:
                 break
             if self._reap_cancelled(first):
@@ -374,11 +399,15 @@ class ServingEngine:
                 for r in batch:
                     self._resolve(r, exc)
             self._sweep_sessions()
-        # fail any requests still deferred at shutdown instead of letting
+        # fail any requests still queued at shutdown instead of letting
         # their waiters hang until timeout
         exc_ = RuntimeError("serving engine shut down")
-        while self._backlog:
-            self._resolve(self._backlog.popleft(), exc_)
+        with self._cv:
+            leftovers = [r for q in self._queues.values() for r in q]
+            for q in self._queues.values():
+                q.clear()
+        for r in leftovers:
+            self._resolve(r, exc_)
 
     def _sweep_sessions(self) -> None:
         """Drop expired carry latents for ALL sessions (not only re-used

@@ -4,21 +4,29 @@ Measures what the batch CLI cannot: request latency and sustained
 throughput of the `serving/` engine once the model is warm — micro-batch
 coalescing, padded-row overhead, and the p50/p95 a client actually sees.
 Drives the REAL ServingEngine (random weights; latency is
-weight-independent) with a closed-loop pool of concurrent clients at one
-geometry, after a warmup pass that compiles the program.
+weight-independent) with a closed-loop pool of concurrent clients, after a
+warmup pass that compiles every program.
+
+Mixed-geometry mode: pass SB_GEOMETRY as a comma list (e.g.
+"480x640,352x1216") to split the client pool across geometries — the
+scenario that exercises the per-geometry queues + round-robin dispatch
+(serving/engine.py). The JSON then carries per-geometry p50/p95 and the
+head-of-line check: minority-geometry p95 must sit in the same class as
+the majority's, not behind a full majority drain.
 
 Run (TPU): PYTHONPATH=.:/root/.axon_site python scripts/bench_serve.py
 Quick CPU smoke: DCT_RANDOM_MODEL_SIZE=tiny JAX_PLATFORMS=cpu \
-    SB_RES=64 SB_GEOMETRY=48x64 SB_REQUESTS=6 SB_STEPS=2 \
+    SB_RES=64 SB_GEOMETRY=48x64,64x48 SB_REQUESTS=8 SB_STEPS=2 \
     PYTHONPATH=. python scripts/bench_serve.py
 
-Env: SB_GEOMETRY (default 480x640), SB_RES (768), SB_STEPS (50),
-SB_CLIENTS (concurrent closed-loop clients, default 8), SB_REQUESTS
-(total, default 24), SB_MAX_BATCH (8 — the bench.py sweet spot),
-SB_MAX_DELAY_MS (25).
+Env: SB_GEOMETRY (default 480x640; comma list for mixed), SB_RES (768),
+SB_STEPS (50), SB_CLIENTS (concurrent closed-loop clients, default 8),
+SB_REQUESTS (total, default 24), SB_MAX_BATCH (8 — the bench.py sweet
+spot), SB_MAX_DELAY_MS (25), SB_MAX_PROGRAMS (LRU program bound, default
+unbounded).
 
 Prints one JSON line: requests/s, per-request p50/p95 latency, batch
-fill efficiency (batched rows / (batched + padded)).
+fill efficiency (batched rows / (batched + padded)), per-geometry stats.
 """
 
 from __future__ import annotations
@@ -32,26 +40,32 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dct_xla_cache")
 
 import numpy as np
 
-GEOMETRY = os.environ.get("SB_GEOMETRY", "480x640")
+GEOMETRIES = [
+    tuple(int(x) for x in g.lower().split("x"))
+    for g in os.environ.get("SB_GEOMETRY", "480x640").split(",")
+]
 RES = int(os.environ.get("SB_RES", "768"))
 STEPS = int(os.environ.get("SB_STEPS", "50"))
 CLIENTS = int(os.environ.get("SB_CLIENTS", "8"))
 REQUESTS = int(os.environ.get("SB_REQUESTS", "24"))
 MAX_BATCH = int(os.environ.get("SB_MAX_BATCH", "8"))
 MAX_DELAY_MS = float(os.environ.get("SB_MAX_DELAY_MS", "25"))
+MAX_PROGRAMS = (
+    int(os.environ["SB_MAX_PROGRAMS"])
+    if os.environ.get("SB_MAX_PROGRAMS")
+    else None
+)
 
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
-    from depth_completion_tpu.models.bundle import make_random_bundle
     from depth_completion_tpu.models import registry
+    from depth_completion_tpu.models.bundle import make_random_bundle
     from depth_completion_tpu.pipeline import DepthCompletionPipeline
     from depth_completion_tpu.serving import ServeRequest, ServingEngine
 
-    import jax.numpy as jnp
-
-    h, w = (int(x) for x in GEOMETRY.lower().split("x"))
     if os.environ.get("DCT_RANDOM_MODEL_SIZE") == "tiny":
         bundle = make_random_bundle(seed=0, vae_kind="tiny", dtype=np.float32)
     else:
@@ -66,7 +80,7 @@ def main() -> None:
             dtype=jnp.bfloat16,
         )
     engine = ServingEngine(
-        DepthCompletionPipeline(bundle),
+        DepthCompletionPipeline(bundle, max_programs=MAX_PROGRAMS),
         dict(
             max_depth=120.0,
             steps=STEPS,
@@ -79,24 +93,25 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    engine.warmup([(h, w)])
+    engine.warmup(GEOMETRIES)
     warm_s = time.monotonic() - t0
 
     rng = np.random.default_rng(0)
     frames = []
     for i in range(CLIENTS):
+        h, w = GEOMETRIES[i % len(GEOMETRIES)]
         img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
         sparse = np.zeros((h, w, 1), np.float32)
         idx = rng.choice(h * w, size=max(16, h * w // 200), replace=False)
         sparse.reshape(-1)[idx] = rng.uniform(2.0, 100.0, idx.size)
-        frames.append((img, sparse))
+        frames.append(((h, w), img, sparse))
 
-    latencies: list[float] = []
+    latencies: dict[tuple[int, int], list[float]] = {g: [] for g in GEOMETRIES}
     lat_lock = threading.Lock()
     counter = {"left": REQUESTS}
 
     def client(i: int) -> None:
-        img, sparse = frames[i]
+        geo, img, sparse = frames[i]
         while True:
             with lat_lock:
                 if counter["left"] <= 0:
@@ -107,7 +122,7 @@ def main() -> None:
             dense = req.wait(timeout=1200)
             assert np.isfinite(dense).all()
             with lat_lock:
-                latencies.append(time.monotonic() - t)
+                latencies[geo].append(time.monotonic() - t)
 
     t1 = time.monotonic()
     threads = [
@@ -121,30 +136,41 @@ def main() -> None:
     stats = engine.stats()
     engine.shutdown()
 
-    lats = sorted(latencies)
+    def pctl(xs: list[float], q: float) -> float:
+        return round(sorted(xs)[min(int(len(xs) * q), len(xs) - 1)], 3)
+
+    all_lats = [x for xs in latencies.values() for x in xs]
     rows = stats["batched_rows"] + stats["padded_rows"]
-    print(
-        json.dumps(
-            {
-                "metric": "serve_requests_per_sec",
-                "value": round(len(lats) / span, 4),
-                "unit": "req/s",
-                "config": (
-                    f"{STEPS}-step guided, res {RES}, geometry {GEOMETRY}, "
-                    f"{CLIENTS} clients, max_batch {MAX_BATCH}"
-                ),
-                "backend": jax.default_backend(),
-                "requests": len(lats),
-                "latency_s_p50": round(lats[len(lats) // 2], 3),
-                "latency_s_p95": round(lats[int(len(lats) * 0.95)], 3),
-                "batches": stats["batches"],
-                "batch_fill": round(stats["batched_rows"] / rows, 3)
-                if rows
-                else None,
-                "warmup_s": round(warm_s, 1),
+    out = {
+        "metric": "serve_requests_per_sec",
+        "value": round(len(all_lats) / span, 4),
+        "unit": "req/s",
+        "config": (
+            f"{STEPS}-step guided, res {RES}, geometries "
+            f"{'+'.join(f'{h}x{w}' for h, w in GEOMETRIES)}, "
+            f"{CLIENTS} clients, max_batch {MAX_BATCH}"
+        ),
+        "backend": jax.default_backend(),
+        "requests": len(all_lats),
+        "latency_s_p50": pctl(all_lats, 0.5),
+        "latency_s_p95": pctl(all_lats, 0.95),
+        "batches": stats["batches"],
+        "batch_fill": round(stats["batched_rows"] / rows, 3) if rows else None,
+        "warmup_s": round(warm_s, 1),
+    }
+    if len(GEOMETRIES) > 1:
+        out["per_geometry"] = {
+            f"{h}x{w}": {
+                "requests": len(xs),
+                "p50": pctl(xs, 0.5),
+                "p95": pctl(xs, 0.95),
             }
-        )
-    )
+            for (h, w), xs in latencies.items()
+            if xs
+        }
+        if "pipe_programs" in stats:
+            out["pipe_programs"] = stats["pipe_programs"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

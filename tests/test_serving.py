@@ -523,6 +523,84 @@ def test_engine_pending_counts_backlog():
         eng.shutdown()
 
 
+def test_engine_round_robin_across_geometries():
+    """A sustained majority-geometry stream cannot head-of-line block a
+    minority geometry: batch rounds alternate across non-empty geometry
+    queues (per-geometry queues + round-robin dispatch)."""
+    entered = threading.Event()
+    release = threading.Event()
+    calls: list[tuple[int, int]] = []
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(tuple(images.shape[1:3]))
+            if len(calls) == 1:
+                entered.set()
+                release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0), max_batch=2, max_delay_ms=5.0
+    )
+    try:
+        img_a, sp_a = _frame(0)
+        img_b, sp_b = _frame(1, h=W, w=H)
+        first = eng.submit(ServeRequest(image=img_a, sparse=sp_a))
+        assert entered.wait(10)
+        # 4 more A's and 2 B's while the worker is blocked
+        reqs = [
+            eng.submit(ServeRequest(image=img_a, sparse=sp_a))
+            for _ in range(4)
+        ] + [
+            eng.submit(ServeRequest(image=img_b, sparse=sp_b))
+            for _ in range(2)
+        ]
+        release.set()
+        first.wait(30)
+        for r in reqs:
+            r.wait(30)
+        # batches after the first: A-pair, B-pair, A-pair (round-robin) —
+        # the B batch must not be last
+        assert calls[0] == (H, W)
+        assert (W, H) in calls[1:3], calls
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_pipeline_lru_program_cache():
+    """max_programs bounds live compiled programs with LRU eviction; an
+    evicted signature recompiles on next use and stays correct."""
+    from depth_completion_tpu.models.bundle import make_random_bundle
+    from depth_completion_tpu.pipeline import DepthCompletionPipeline
+
+    bundle = make_random_bundle(seed=0, vae_kind="tiny", dtype=np.float32)
+    pipe = DepthCompletionPipeline(bundle, max_programs=2)
+    kw = dict(CALL_KWARGS)
+    del kw["max_depth"]
+
+    img_a, sp_a = _frame(0)                 # 48x64
+    img_b, sp_b = _frame(1, h=W, w=H)       # 64x48
+    img_c, sp_c = _frame(2, h=32, w=48)     # 32x48
+    out_a1, _ = pipe(img_a[None], sp_a[None], 120.0, **kw)
+    assert len(pipe.program_keys()) == 1
+    pipe(img_b[None], sp_b[None], 120.0, **kw)
+    assert len(pipe.program_keys()) == 2
+    pipe(img_c[None], sp_c[None], 120.0, **kw)  # evicts A (oldest)
+    keys = pipe.program_keys()
+    assert len(keys) == 2
+    assert not any(k[1][1:3] == (48, 64) for k in keys), keys
+    # evicted signature recompiles and reproduces the original result
+    out_a2, _ = pipe(img_a[None], sp_a[None], 120.0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out_a1), np.asarray(out_a2), rtol=1e-5, atol=1e-5
+    )
+    # LRU order: A is newest now; touching B keeps it alive over C
+    pipe(img_b[None], sp_b[None], 120.0, **kw)
+    pipe(img_a[None], sp_a[None], 120.0, **kw)
+    assert len(pipe.program_keys()) == 2
+
+
 def test_http_timeout_returns_504():
     """A client-side wait timeout is 504 (work may still complete), NOT
     503 (load shedding, retry-now) — load balancers treat them differently."""
