@@ -173,6 +173,35 @@ class DepthCompletionPipeline:
         )
         cfg.validate()
 
+        # Degenerate-range guard (host-side, like the empty-sparse check
+        # above): under minmax/percentile normalization a frame whose valid
+        # sparse points all share one value (or whose estimated range
+        # collapses after clamping into [min_depth, max_depth]) makes the
+        # normalizer divide by (max-min)=0 — the reference NaNs silently
+        # there (marigold_dc.py:739-756); we fail loudly instead
+        # (documented deviation, PARITY.md). Found by the full-size
+        # synthetic checkpoint drill (scripts/make_synthetic_checkpoint.py).
+        if cfg.norm in ("minmax", "percentile") and (
+            not isinstance(sparses, jax.Array) or sparses.is_fully_addressable
+        ):
+            sp_np = np.asarray(sparses)
+            for i in range(sp_np.shape[0]):
+                vals = sp_np[i][sp_np[i] > 0]
+                if cfg.norm == "minmax":
+                    lo, hi = float(vals.min()), float(vals.max())
+                else:
+                    lo, hi = (float(q) for q in np.quantile(vals, cfg.percentile))
+                lo, hi = max(lo, cfg.min_depth), min(hi, cfg.max_depth)
+                if not hi > lo:
+                    raise ValueError(
+                        f"Degenerate sparse depth range for frame {i}: "
+                        f"norm={cfg.norm!r} estimated [{lo}, {hi}] "
+                        "(all valid points share one value, or the range "
+                        "collapses after clamping to "
+                        f"[{cfg.min_depth}, {cfg.max_depth}]). Use "
+                        "norm='const' or provide varied sparse points."
+                    )
+
         if pred_latents_prev is not None:
             pred_latents_prev = jnp.asarray(pred_latents_prev)
             from depth_completion_tpu.ops.resize import latent_size

@@ -207,6 +207,27 @@ class ServingEngine:
                 "that mask has at least one True value along the specified "
                 "dimensions. (sparse frame has no points > 0)"
             )
+        # Degenerate-range guard (mirrors pipeline/pipeline.py): under
+        # minmax/percentile normalization a constant-valued sparse frame
+        # divides by zero in the normalizer; reject it at admission so it
+        # cannot 422 a shared micro-batch.
+        norm = self.call_kwargs.get("norm", "minmax")
+        if norm in ("minmax", "percentile"):
+            vals = req.sparse[req.sparse > 0]
+            if norm == "minmax":
+                lo, hi = float(vals.min()), float(vals.max())
+            else:
+                pct = self.call_kwargs.get("percentile", (0.01, 0.99))
+                lo, hi = (float(q) for q in np.quantile(vals, pct))
+            lo = max(lo, float(self.call_kwargs.get("min_depth", 0.0)))
+            hi = min(hi, float(self.call_kwargs["max_depth"]))
+            if not hi > lo:
+                raise ValueError(
+                    f"Degenerate sparse depth range: norm={norm!r} "
+                    f"estimated [{lo}, {hi}] — all valid points share one "
+                    "value (or the range collapses after clamping). Use "
+                    "norm='const' or provide varied sparse points."
+                )
         # bounded admission: shed load instead of growing an unbounded
         # backlog (each queued request is ~seconds of device time). Gate on
         # the pending counter, which also covers worker-deferred requests.

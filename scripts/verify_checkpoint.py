@@ -57,7 +57,11 @@ def main() -> int:
     rng = np.random.default_rng(0)
     images = rng.uniform(0, 255, size=(1, 128, 160, 3)).astype(np.float32)
     sparse = np.zeros((1, 128, 160, 1), np.float32)
-    sparse[0, ::16, ::16, 0] = 10.0
+    # varied values: a constant sparse frame has a degenerate minmax range
+    # and is rejected by the pipeline (found by this very drill)
+    sparse[0, ::16, ::16, 0] = rng.uniform(
+        2.0, 100.0, sparse[0, ::16, ::16, 0].shape
+    )
     denses, _ = pipe(images, sparse, max_depth=120.0, steps=2, resolution=128)
     d = np.asarray(denses)
     ok = np.isfinite(d).all()

@@ -156,6 +156,23 @@ def test_empty_sparse_frame_raises(pipe, inputs):
         pipe(images, -np.abs(sparse) - 1.0, **COMMON)
 
 
+def test_degenerate_sparse_range_raises(pipe, inputs):
+    """A constant-valued sparse frame under minmax/percentile normalization
+    would divide by (max-min)=0 — the reference silently NaNs
+    (marigold_dc.py:739-756); we raise host-side (PARITY.md deviation 9).
+    norm='const' must still accept it."""
+    images, sparse = inputs
+    const_sp = np.where(sparse > 0, 7.0, 0.0).astype(np.float32)
+    kw = dict(COMMON)
+    kw.pop("norm", None)
+    with pytest.raises(ValueError, match="Degenerate sparse depth range"):
+        pipe(images, const_sp, norm="minmax", **kw)
+    with pytest.raises(ValueError, match="Degenerate sparse depth range"):
+        pipe(images, const_sp, norm="percentile", **kw)
+    d, _ = pipe(images, const_sp, norm="const", **kw)
+    assert np.isfinite(np.asarray(d)).all()
+
+
 def test_config_validation(pipe, inputs):
     images, sparse = inputs
     with pytest.raises(ValueError):

@@ -246,6 +246,33 @@ def test_engine_rejects_invalid_sparse_at_admission(engine):
     assert engine.stats()["requests"] == before  # nothing was enqueued
 
 
+def test_engine_rejects_degenerate_range_at_admission():
+    """A constant-valued sparse frame under minmax normalization is
+    rejected in submit() (degenerate range; mirrors the pipeline guard)."""
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0, norm="minmax"), max_batch=1
+    )
+    try:
+        img, sp = _frame(11)
+        const_sp = np.where(sp > 0, 7.0, 0.0).astype(np.float32)
+        with pytest.raises(ValueError, match="Degenerate sparse depth range"):
+            eng.submit(ServeRequest(image=img, sparse=const_sp))
+        # const normalization accepts the same frame
+        eng2 = ServingEngine(
+            _Pipe(), dict(max_depth=120.0, norm="const"), max_batch=1
+        )
+        try:
+            eng2.complete(img, const_sp, timeout=30)
+        finally:
+            eng2.shutdown()
+    finally:
+        eng.shutdown()
+
+
 def _fake_pipe_result(images):
     n, h, w = images.shape[:3]
     return (
