@@ -30,7 +30,15 @@ batch 1, see PERF.md round-3 batch/remat sweep),
 BENCH_REPEATS (default 3), BENCH_RES (default 768), BENCH_FAST=1
 (fast-guidance mode: skip the UNet backward — NOT the parity config; the
 headline stays full-parity gradients), BENCH_TRACE=0 (skip the profiler
-pass).
+pass), BENCH_SOL=0 (skip the speed-of-light component measurement),
+BENCH_PEAK_TFLOPS (peak bf16 override for unlisted chips).
+
+Hardware-grounded metrics (VERDICT r3 #2 — the 0.33 f/s reference figure is
+an assumption, so perf is also judged against the chip itself):
+``mfu_pct`` (XLA cost-analysis FLOPs / device step time / peak bf16),
+``sol_components_ms`` (isolated UNet fwd, UNet fwd+bwd, decode fwd+bwd
+programs measured at the bench geometry) and ``sol_pct`` (their sum — the
+irreducible parity-step work — over the achieved device step time).
 """
 
 from __future__ import annotations
@@ -46,6 +54,148 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dct_xla_cache")
 
 REFERENCE_FRAMES_PER_SEC = 0.33  # provisional; see BASELINE.md
+
+# Peak dense bf16 matmul throughput per chip (public TPU specs), keyed by
+# substrings of jax Device.device_kind. Used for the hardware-grounded MFU
+# metric (VERDICT r3 #2): perf is judged against the chip, not the assumed
+# reference constant. Override with BENCH_PEAK_TFLOPS for unlisted chips.
+_PEAK_BF16_TFLOPS = (
+    ("v6 lite", 918.0), ("v6e", 918.0),
+    ("v5p", 459.0),
+    ("v5 lite", 197.0), ("v5e", 197.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+)
+
+
+def _peak_tflops(device_kind: str) -> float | None:
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = device_kind.lower()
+    for sub, peak in _PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _program_flops(compiled) -> float | None:
+    """Total FLOPs of a compiled program per XLA's cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _chained_ms_per_call(fn, x, *args, calls: int = 8) -> float:
+    """Wall time per call with output→input chaining (amortizes the remote
+    tunnel's per-sync overhead; trustworthy above ~5 ms/call, PERF.md)."""
+    import jax.numpy as jnp
+
+    y = fn(x, *args)
+    float(jnp.sum(y))  # warm + sync
+    t0 = time.time()
+    for _ in range(calls):
+        x = fn(x, *args)
+    float(jnp.sum(x))
+    return (time.time() - t0) / calls * 1e3
+
+
+def _sol_components(bundle, images_d, sparse_d, cfg) -> dict | None:
+    """Measured per-step SOL decomposition at the bench geometry.
+
+    The parity step's irreducible device work is one UNet forward+backward
+    plus one decode-head forward+backward (gradients flow through both:
+    reference marigold_dc.py:806-877); everything else (scheduler algebra,
+    optimizer, rescale) is bandwidth-trivial on the ~110 KB/frame latent.
+    Each component is timed as its own jitted program at the exact bench
+    geometry/batch — the sum is the speed-of-light budget for the step, and
+    sol_pct says how close the fused full program gets to it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from depth_completion_tpu.models.unet import apply_unet
+    from depth_completion_tpu.ops.flash_attention import flash_attention
+    from depth_completion_tpu.pipeline.sampler import _prepare, latent_to_affine
+
+    try:
+        # static geometry on the host (an eager _prepare would dispatch
+        # hundreds of small ops one-by-one over the remote tunnel)
+        h, w = int(images_d.shape[1]), int(images_d.shape[2])
+        m = max(h, w)
+        new_h, new_w = cfg.resolution * h // m, cfg.resolution * w // m
+        padding = (-new_h % 16, -new_w % 16)
+        orig_res = (h, w)
+
+        @jax.jit
+        def _prep(images, sparses):
+            out = _prepare(
+                bundle, images, sparses, cfg, None, jax.random.PRNGKey(0)
+            )
+            return out[0], out[1]
+
+        img_latents, pred_latents = _prep(images_d, sparse_d)
+        n = img_latents.shape[0]
+        ctx = jnp.broadcast_to(
+            bundle.text_context, (n,) + bundle.text_context.shape[1:]
+        )
+        t = jnp.asarray(999)
+
+        def unet_eps(lat):
+            x = jnp.concatenate(
+                [img_latents, lat.astype(img_latents.dtype)], axis=-1
+            )
+            return apply_unet(
+                bundle.unet_params, x, t, ctx, bundle.unet_config,
+                attention_fn=flash_attention, remat=False,
+            ).astype(jnp.float32)
+
+        unet_fwd = jax.jit(unet_eps)
+        unet_fwd_bwd = jax.jit(
+            jax.grad(lambda lat: jnp.sum(unet_eps(lat)))
+        )
+        decode_fwd_bwd = jax.jit(
+            jax.grad(
+                lambda lat: jnp.sum(
+                    latent_to_affine(
+                        bundle, lat, orig_res, padding, cfg.interp_mode
+                    )
+                )
+            )
+        )
+        lat0 = pred_latents.astype(jnp.float32)
+        comp = {
+            "unet_fwd_ms": round(_chained_ms_per_call(unet_fwd, lat0), 2),
+            "unet_fwd_bwd_ms": round(
+                _chained_ms_per_call(unet_fwd_bwd, lat0), 2
+            ),
+            "decode_fwd_bwd_ms": round(
+                _chained_ms_per_call(decode_fwd_bwd, lat0), 2
+            ),
+        }
+        comp["sol_step_ms"] = round(
+            comp["unet_fwd_bwd_ms"] + comp["decode_fwd_bwd_ms"], 2
+        )
+        return comp
+    except Exception:
+        return None
+
+
+def _phase(msg: str) -> None:
+    """Progress timestamps on stderr (BENCH_VERBOSE=1); the JSON line on
+    stdout stays the single machine-readable artifact."""
+    if os.environ.get("BENCH_VERBOSE", "0") == "1":
+        import sys
+
+        print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr)
+
+
+_T0 = time.time()
 
 
 def _git_commit() -> str:
@@ -171,6 +321,10 @@ def main() -> None:
         remat_unet=os.environ.get("BENCH_REMAT", "auto"),
     )
     fn = jax.jit(guided_sample, static_argnames=("cfg",))
+    do_sol = (
+        os.environ.get("BENCH_SOL", "1") == "1"
+        and jax.default_backend() == "tpu"
+    )
 
     images_d = jax.device_put(jnp.asarray(images))
     sparse_d = jax.device_put(jnp.asarray(sparse))
@@ -182,10 +336,17 @@ def main() -> None:
         return float(jnp.sum(denses))
 
     cache_before = _cache_entries()
+    _phase("first run (compile)")
     t0 = time.time()
     checksum = run_sync()
     compile_and_first = time.time() - t0
     cache_state = "miss" if _cache_entries() - cache_before else "hit"
+
+    _phase("cost analysis (lower+compile, cache-hit expected)")
+    program_flops = _program_flops(
+        fn.lower(bundle, images_d, sparse_d, cfg).compile()
+    )
+    _phase("timed repeats")
 
     times = []
     for _ in range(repeats):
@@ -194,11 +355,15 @@ def main() -> None:
         times.append(time.time() - t0)
     del checksum
 
+    _phase("profiler trace")
     device_step_ms = (
         _trace_device_step_ms(fn, (bundle, images_d, sparse_d, cfg), steps)
         if do_trace
         else None
     )
+    _phase("SOL components")
+    sol = _sol_components(bundle, images_d, sparse_d, cfg) if do_sol else None
+    _phase("done")
 
     best = min(times)
     fps = batch / best
@@ -231,6 +396,31 @@ def main() -> None:
         # device-event time per DDIM step from a profiler trace (excludes
         # host/tunnel overhead; the honest per-step device cost)
         result["device_step_ms"] = round(device_step_ms, 2)
+
+    # Hardware-grounded metrics (VERDICT r3 #2): judge perf against the
+    # chip, not the assumed reference constant. Uses the trace-measured
+    # device time when available, else wall time (includes tunnel sync).
+    step_s = (
+        device_step_ms / 1e3 if device_step_ms is not None else best / steps
+    )
+    peak = _peak_tflops(jax.devices()[0].device_kind)
+    result["device_kind"] = jax.devices()[0].device_kind
+    if program_flops is not None:
+        # whole program = `steps` guided steps (+ prep/final decode, <2%)
+        result["flops_per_step"] = round(program_flops / steps / 1e9, 1)  # GF
+        if peak is not None and step_s > 0:
+            result["peak_bf16_tflops"] = peak
+            result["mfu_pct"] = round(
+                program_flops / steps / step_s / (peak * 1e12) * 100, 1
+            )
+    if sol is not None:
+        # measured speed-of-light budget: isolated UNet fwd+bwd + decode
+        # fwd+bwd programs at the bench geometry (see _sol_components)
+        result["sol_components_ms"] = sol
+        if step_s > 0:
+            result["sol_pct"] = round(
+                sol["sol_step_ms"] / (step_s * 1e3) * 100, 1
+            )
     print(json.dumps(result))
 
 

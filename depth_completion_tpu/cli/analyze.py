@@ -72,6 +72,9 @@ def main(
     gt_dir: str | None,
     gt_format: str,
 ) -> None:
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
     logger.configure(level=log_level, log_path=log)
 
     metrics_ok = []

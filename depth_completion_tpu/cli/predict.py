@@ -261,6 +261,9 @@ def run_predict(
     import jax
 
     from depth_completion_tpu.core.compile_cache import enable_compile_cache
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
 
     # Persist compiled programs across invocations: the fused 50-step
     # sampling program takes minutes to build; the cache makes every run

@@ -180,6 +180,9 @@ def run_serve(
     """Build the engine + HTTP server. Returns (engine, httpd) when
     serve_forever=False (used by tests); otherwise blocks."""
     from depth_completion_tpu.core.compile_cache import enable_compile_cache
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
 
     enable_compile_cache()
     logger.configure(level=log_level, log_path=log)

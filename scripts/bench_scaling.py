@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     import jax
+
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -89,6 +93,55 @@ def main() -> None:
             r["frames_per_sec"] / (base * r["devices"]), 3
         )
         print(json.dumps(r))
+
+    # ----- ring-attention (sequence-parallel) scaling ---------------------
+    # The --native-res mode: batch replicated, self-attention sequence
+    # sharded over the data axis with KV rotating around the ring
+    # (ops/ring_attention.py). Pre-written so a real pod slice can measure
+    # ring scaling within minutes (VERDICT r3 #10); on one chip it degrades
+    # to a self-loop ring (scripts/exp_ring_tpu.py validates that lowering).
+    if os.environ.get("BENCH_RING", "1") == "1":
+        import dataclasses
+
+        ring_results = []
+        for n_dev in sorted(set(sizes)):
+            mesh = Mesh(
+                np.asarray(devices[:n_dev]).reshape(n_dev, 1),
+                (AXIS_DATA, AXIS_MODEL),
+            )
+            b = shard_bundle(mesh, bundle)
+            ring_cfg = dataclasses.replace(cfg, ring_mesh=mesh)
+            rng = np.random.default_rng(0)
+            images = jnp.asarray(
+                rng.uniform(0, 255, size=(1, h, w, 3)), jnp.float32
+            )
+            sparse_np = np.zeros((1, h, w, 1), np.float32)
+            sparse_np[:, ::8, ::8, 0] = 10.0
+            sparse = jnp.asarray(sparse_np)
+
+            def run_ring():
+                denses, _ = fn(b, images, sparse, ring_cfg)
+                return float(jnp.sum(denses))
+
+            run_ring()  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                run_ring()
+                ts.append(time.time() - t0)
+            ring_results.append(
+                {
+                    "mode": "ring",
+                    "devices": n_dev,
+                    "frames_per_sec": round(1.0 / min(ts), 3),
+                }
+            )
+        ring_base = ring_results[0]["frames_per_sec"]
+        for r in ring_results:
+            # sequence parallelism targets memory capacity, not throughput:
+            # efficiency here is time-vs-1-device (1.0 = free sharding)
+            r["vs_single_device"] = round(r["frames_per_sec"] / ring_base, 3)
+            print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -59,6 +59,10 @@ MAX_PROGRAMS = (
 
 def main() -> None:
     import jax
+
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
     import jax.numpy as jnp
 
     from depth_completion_tpu.models import registry

@@ -163,6 +163,10 @@ def main() -> int:
     import numpy as np
     from safetensors.numpy import save_file
 
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+
     from depth_completion_tpu.models import registry, vae_kl, vae_tiny, weights
     from depth_completion_tpu.models.unet import init_unet
 

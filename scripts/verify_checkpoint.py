@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--vae", choices=["original", "light"], default="light")
     args = ap.parse_args()
 
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
     import jax.numpy as jnp
     import numpy as np
 

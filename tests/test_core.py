@@ -96,3 +96,26 @@ def test_compile_cache_host_salt(tmp_path, monkeypatch):
 
     jax.config.update("jax_compilation_cache_dir", None)
     monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+
+
+def test_respect_jax_platforms_env(monkeypatch):
+    """JAX_PLATFORMS must win over a startup config override (the session
+    sitecustomize forces jax_platforms at import, silently sending 'CPU'
+    scripts over the remote-TPU tunnel — core/platform.py)."""
+    import jax
+
+    from depth_completion_tpu.core.platform import respect_jax_platforms_env
+
+    orig = jax.config.jax_platforms
+    try:
+        jax.config.update("jax_platforms", "")  # simulate a startup override
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        respect_jax_platforms_env()
+        assert jax.config.jax_platforms == "cpu"
+        # no env var -> no-op
+        jax.config.update("jax_platforms", "")
+        monkeypatch.delenv("JAX_PLATFORMS")
+        respect_jax_platforms_env()
+        assert jax.config.jax_platforms == ""
+    finally:
+        jax.config.update("jax_platforms", orig)
