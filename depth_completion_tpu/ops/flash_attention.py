@@ -105,6 +105,14 @@ FWD_STREAMS = int(os.environ.get("DCT_FWD_STREAMS", "2"))
 # streams=2 fastest at 55.3 ms/call fwd+bwd, S=6912).
 BWD_STREAMS = int(os.environ.get("DCT_BWD_STREAMS", "2"))
 
+# Transposed d-outputs in the fused backward: dk/dv/dq computed as [d, S]
+# (head_dim on sublanes, full 128-lane outputs) instead of [S, d] whose
+# 64-lane outputs run ~3.2x below the MXU's full-width rate (PERF.md
+# round-2 shape probes; scripts/exp_pallas_n64.py measures the kernel-level
+# delta). Same math, swapped dot_general operand orders; one XLA swapaxes
+# per output per call. A/B via DCT_BWD_TRANSPOSED.
+BWD_TRANSPOSED = os.environ.get("DCT_BWD_TRANSPOSED", "0") == "1"
+
 
 def _next_multiple(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -381,6 +389,85 @@ def _bwd_fused_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel_t(
+    q_ref, k_ref, v_ref, do_ref, mhat_ref, o_ref,
+    dk_ref, dv_ref, dqp_ref, dk_scr, dv_scr,
+    *, sm_scale: float, kv_len: int, block_k: int, num_q_blocks: int,
+    mask_tail: bool, block_q: int, streams: int,
+):
+    """Fused backward with TRANSPOSED d-outputs (dk/dv/dq as [d, S]).
+
+    Identical math to ``_bwd_fused_kernel``; the three output matmuls use
+    swapped dot_general operand orders so head_dim=64 lands on output
+    SUBLANES and the long S axis fills all 128 lanes:
+
+        dv^T += do^T @ p          [d, block_k]
+        dk^T += q^T @ ds · scale  [d, block_k]
+        dq^T  = k^T @ ds^T · scale [d, block_q]  (per-KV-block partial)
+
+    An N=64-lane output runs ~3.2x below the MXU's N=128 rate (PERF.md
+    round-2 shape probes); the transposed orientation does the same MACs at
+    full lane width with zero materialized transposes in VMEM (the operand
+    swap is a dot_general dimension-numbers change). The [BH, d, S] outputs
+    are swapped back to [BH, S, d] by XLA once per call. Measured via
+    scripts/exp_pallas_n64.py; gated by DCT_BWD_TRANSPOSED.
+    """
+    qi = pl.program_id(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    k = k_ref[0]  # [block_k, d]
+    v = v_ref[0]
+    for h in range(streams):
+        rows = slice(h * block_q, (h + 1) * block_q)
+        q = q_ref[0][rows]  # [block_q, d]
+        do = do_ref[0][rows]  # [block_q, d]
+        mhat = mhat_ref[0][rows, :1]
+        di = jnp.sum(
+            do.astype(jnp.float32) * o_ref[0][rows].astype(jnp.float32),
+            axis=-1,
+            keepdims=True,
+        )
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (sm_scale * _LOG2E)
+        s = _mask_tail(s, ki, block_k, kv_len, mask_tail)
+        p = _exp(s - mhat)  # [block_q, block_k]
+
+        # dv^T += do^T @ p   → [d, block_k], full 128-lane output
+        dv_scr[...] += jax.lax.dot_general(
+            do, p.astype(do.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di)  # [block_q, block_k]
+        # dk^T += q^T @ ds  → [d, block_k]
+        dk_scr[...] += jax.lax.dot_general(
+            q, ds.astype(q.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        # dq^T partial = k^T @ ds^T → [d, block_q]
+        dqp_ref[0, 0, :, rows] = (
+            jax.lax.dot_general(
+                k, ds.astype(k.dtype), (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        ).astype(dqp_ref.dtype)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, mhat_ref, o_ref,
     dq_ref, dq_scr,
@@ -442,18 +529,52 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, bwd_block_q, bwd_block_k, kv
 def _fused_bwd_call(q, k, v, do, mhat, o, sm_scale, block_q, block_k, kv_len):
     """One-pass fused backward over padded [BH, S, D] operands →
     (dk, dv, dq). Shared by the custom_vjp below and the ring backward
-    (ops/ring_attention.py), where per-visiting-block calls accumulate."""
+    (ops/ring_attention.py), where per-visiting-block calls accumulate.
+
+    With BWD_TRANSPOSED the kernel writes d-transposed outputs ([BH, d, S];
+    full-lane MXU outputs, see _bwd_fused_kernel_t) which are swapped back
+    here — one XLA relayout per tensor per call."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     nk = sk // block_k
     streams = BWD_STREAMS if sq % (BWD_STREAMS * block_q) == 0 else 1
     rows = streams * block_q
     fused = functools.partial(
-        _bwd_fused_kernel,
+        _bwd_fused_kernel_t if BWD_TRANSPOSED else _bwd_fused_kernel,
         sm_scale=sm_scale, kv_len=kv_len, block_k=block_k,
         num_q_blocks=sq // rows,
         mask_tail=sk != kv_len, block_q=block_q, streams=streams,
     )
+    if BWD_TRANSPOSED:
+        out_specs = [
+            pl.BlockSpec((1, d, block_k), lambda b, ki, qi: (b, 0, ki)),
+            pl.BlockSpec((1, d, block_k), lambda b, ki, qi: (b, 0, ki)),
+            pl.BlockSpec((1, 1, d, rows), lambda b, ki, qi: (ki, b, 0, qi)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, d, sk), k.dtype),
+            jax.ShapeDtypeStruct((bh, d, sk), v.dtype),
+            jax.ShapeDtypeStruct((nk, bh, d, sq), DQ_PARTIALS_DTYPE),
+        ]
+        scratch = [
+            pltpu.VMEM((d, block_k), jnp.float32),
+            pltpu.VMEM((d, block_k), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, 1, rows, d), lambda b, ki, qi: (ki, b, qi, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+            jax.ShapeDtypeStruct((nk, bh, sq, d), DQ_PARTIALS_DTYPE),
+        ]
+        scratch = [
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ]
     dk, dv, dq_partial = pl.pallas_call(
         fused,
         grid=(bh, nk, sq // rows),
@@ -465,26 +586,19 @@ def _fused_bwd_call(q, k, v, do, mhat, o, sm_scale, block_q, block_k, kv_len):
             pl.BlockSpec((1, rows, _LANES), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, rows, d), lambda b, ki, qi: (b, qi, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, 1, rows, d), lambda b, ki, qi: (ki, b, qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
-            jax.ShapeDtypeStruct((nk, bh, sq, d), DQ_PARTIALS_DTYPE),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=INTERPRET,
     )(q, k, v, do, mhat, o)
     dq = jnp.sum(dq_partial, axis=0, dtype=jnp.float32).astype(q.dtype)
+    if BWD_TRANSPOSED:
+        dk = jnp.swapaxes(dk, 1, 2)
+        dv = jnp.swapaxes(dv, 1, 2)
+        dq = jnp.swapaxes(dq, 1, 2)
     return dk, dv, dq
 
 

@@ -1,33 +1,33 @@
-"""Is an N=64-output MXU contraction worse than 2x an N=128 one? (Pallas)
+"""Is an N=64-output MXU contraction beatable inside Pallas kernels?
 
 The flash backward's three output matmuls (dv = p^T@do, dk = ds^T@q,
-dq = ds@k) all have head_dim=64 as the output minor (lane) dimension.
-The round-2 XLA bmm probes (PERF.md) measured [S,S]x[S,64] at 0.571 ms vs
-[S,S]x[S,128] at 0.357 ms — N=64 is 1.6x SLOWER in absolute time than
-N=128 despite half the MACs (3.2x per FLOP). If that penalty holds inside
-Mosaic kernels, packing two heads' outputs side by side with a
-block-diagonal second operand (2x the MACs, all at the N=128 rate) wins
-~1.6x on those matmuls; if Mosaic's penalty is exactly 2x (lane padding
-only), packing is break-even and the round-2 "no win" conclusion stands.
+dq = ds@k) and the forward's PV all have head_dim=64 as the output minor
+(lane) dimension. The round-2 XLA bmm probes (PERF.md) measured
+[S,S]x[S,64] at 0.571 ms vs [S,S]x[S,128] at 0.357 ms — the N=64 output is
+1.6x slower in ABSOLUTE time than N=128 despite half the MACs. Four ways
+out, all measured here with realistic flash tile shapes (block_q=512,
+block_k=1024, d=64), each variant doing TWO heads' worth of work per grid
+step:
 
-This measures exactly that, inside Pallas kernels with realistic flash-bwd
-tile shapes (block_q=512, block_k=1024, d=64):
+  A. baseline:    two dots [bq,bk]x[bk,64]        (output lanes = 64)
+  B. block-diag:  one dot  [bq,2bk]x[2bk,128]     (2x MACs, full lanes)
+  C. sum/diff:    two dots [bq,bk]x[bk,128]       (2x MACs, no zeros,
+                  VPU add/sub epilogue recovers both heads)
+  D. transposed:  two dots [64,bq]x[bq,bk]        (SAME MACs as A; the 64
+                  lands on output SUBLANES, lanes are full bk — the
+                  orientation a fully-transposed flash kernel would use)
 
-  A. baseline:   two separate dots  [512,1024]x[1024,64]   (per head)
-  B. block-diag: one dot            [512,2048]x[2048,128]  (pair-packed)
-  C. sum/diff:   two dots           [512,1024]x[1024,128]  (no zeros;
-     recovers both heads with a VPU add/sub epilogue)
-
-Grid iterates over batch*pairs; each variant does the same useful work
-(two heads' worth of PV/dv-style contractions per grid step).
+If D wins, the flash kernels should be re-plumbed in [d, S] orientation
+(dv^T = do^T@p etc); if only B/C win (>=2x rate at 2x MACs), pair-packing
+wins; if none beat A by >10%, the round-2 "no win available" conclusion
+stands and the d=64 ceiling is confirmed structural.
 
 Run on TPU: PYTHONPATH=.:/root/.axon_site python scripts/exp_pallas_n64.py
-Env: EN_BQ (512), EN_BK (1024), EN_PAIRS (40 grid steps), EN_REPS (50).
+Env: EN_BQ (512), EN_BK (1024), EN_PAIRS (40 grid steps), EN_REPS (30).
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
@@ -37,7 +37,7 @@ import numpy as np
 BQ = int(os.environ.get("EN_BQ", "512"))
 BK = int(os.environ.get("EN_BK", "1024"))
 PAIRS = int(os.environ.get("EN_PAIRS", "40"))
-REPS = int(os.environ.get("EN_REPS", "50"))
+REPS = int(os.environ.get("EN_REPS", "30"))
 D = 64
 
 
@@ -46,76 +46,80 @@ def main() -> None:
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    # ---- kernels ---------------------------------------------------------
-    def kern_baseline(p1_ref, p2_ref, v1_ref, v2_ref, o1_ref, o2_ref):
-        o1_ref[...] = jax.lax.dot_general(
-            p1_ref[...], v1_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o1_ref.dtype)
-        o2_ref[...] = jax.lax.dot_general(
-            p2_ref[...], v2_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o2_ref.dtype)
-
-    def kern_blockdiag(pcat_ref, vbd_ref, o_ref):
-        # pcat [BQ, 2BK], vbd [2BK, 128] block-diagonal
-        o_ref[...] = jax.lax.dot_general(
-            pcat_ref[...], vbd_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
-
-    def kern_sumdiff(p_sum_ref, p_diff_ref, vcat_ref, vneg_ref, o_ref):
-        # o = 0.5*((p1+p2)@[v1|v2] + (p1-p2)@[v1|-v2]) = [p1@v1 | p2@v2]
-        a = jax.lax.dot_general(
-            p_sum_ref[...], vcat_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def dot(a, b, acc=jnp.float32):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=acc
         )
-        b = jax.lax.dot_general(
-            p_diff_ref[...], vneg_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[...] = (0.5 * (a + b)).astype(o_ref.dtype)
+
+    # ---- kernels (each grid step = one pair of heads) ---------------------
+    def kern_a(p1, p2, v1, v2, o1, o2):
+        o1[...] = dot(p1[...], v1[...]).astype(o1.dtype)
+        o2[...] = dot(p2[...], v2[...]).astype(o2.dtype)
+
+    def kern_b(pcat, vbd, o):
+        o[...] = dot(pcat[...], vbd[...]).astype(o.dtype)
+
+    def kern_c(p_sum, p_diff, vcat, vneg, o):
+        a = dot(p_sum[...], vcat[...])
+        b = dot(p_diff[...], vneg[...])
+        o[...] = (0.5 * (a + b)).astype(o.dtype)
+
+    def kern_d(dt1, dt2, p1, p2, o1, o2):
+        # transposed orientation: [64, bq] x [bq, bk] -> [64, bk]
+        o1[...] = dot(dt1[...], p1[...]).astype(o1.dtype)
+        o2[...] = dot(dt2[...], p2[...]).astype(o2.dtype)
+
+    def kern_e(do1, do2, p1, p2, o1, o2):
+        # SURGICAL variant: same untransposed operands as the real bwd
+        # (p scores [bq,bk], do cotangent [bq,64]), but the dot contracts
+        # lhs dim0 with rhs dim0 (A^T @ B) so the output dv^T = do^T @ p is
+        # [64, bk] — d on SUBLANES, bk on full lanes — with zero
+        # materialized transposes in VMEM. Same MACs as the dv it replaces.
+        def dott(a, b):
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        o1[...] = dott(do1[...], p1[...]).astype(o1.dtype)
+        o2[...] = dott(do2[...], p2[...]).astype(o2.dtype)
 
     def make_call(kern, in_shapes, out_shapes):
-        grid = (PAIRS,)
-        in_specs = [
-            pl.BlockSpec(s, lambda i: (i,) + (0,) * (len(s) - 1))
-            for s in [(1,) + s for s in in_shapes]
-        ]
-        out_specs = [
-            pl.BlockSpec(s, lambda i: (i,) + (0,) * (len(s) - 1))
-            for s in [(1,) + s for s in out_shapes]
-        ]
+        def body(*refs):
+            n_in = len(in_shapes)
+            outs = refs[n_in:]
 
-        def squeeze_kern(*refs):
-            class _V:
+            class _W:
                 def __init__(self, ref):
-                    self.ref = ref
+                    self._r = ref
 
-                def __getitem__(self, idx):
-                    return self.ref[0]
+                def __getitem__(self, _):
+                    return self._r[0]
+
+                def __setitem__(self, _, v):
+                    self._r[0] = v
 
                 @property
                 def dtype(self):
-                    return self.ref.dtype
+                    return self._r.dtype
 
-                def __setitem__(self, idx, val):
-                    self.ref[0] = val
+            kern(*[_W(r) for r in refs[:n_in]], *[_W(r) for r in outs])
 
-            kern(*[_V(r) for r in refs])
-
-        n_out = len(out_shapes)
         return pl.pallas_call(
-            squeeze_kern,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs if n_out > 1 else out_specs[0],
+            body,
+            grid=(PAIRS,),
+            in_specs=[
+                pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s))
+                for s in in_shapes
+            ],
+            out_specs=[
+                pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s))
+                for s in out_shapes
+            ],
             out_shape=[
                 jax.ShapeDtypeStruct((PAIRS,) + s, jnp.bfloat16)
                 for s in out_shapes
-            ]
-            if n_out > 1
-            else jax.ShapeDtypeStruct((PAIRS,) + out_shapes[0], jnp.bfloat16),
+            ],
         )
 
     rng = np.random.default_rng(0)
@@ -124,73 +128,100 @@ def main() -> None:
     v1 = jnp.asarray(rng.standard_normal((PAIRS, BK, D)), jnp.bfloat16)
     v2 = jnp.asarray(rng.standard_normal((PAIRS, BK, D)), jnp.bfloat16)
 
-    # prepacked operands (packing itself rides the kernels that produce
-    # p/v in a real integration; measured separately below)
-    pcat = jnp.concatenate([p1, p2], axis=2)  # [P, BQ, 2BK]
+    pcat = jnp.concatenate([p1, p2], axis=2)
     zeros = jnp.zeros((PAIRS, BK, D), jnp.bfloat16)
     vbd = jnp.concatenate(
-        [
-            jnp.concatenate([v1, zeros], axis=2),
-            jnp.concatenate([zeros, v2], axis=2),
-        ],
-        axis=1,
-    )  # [P, 2BK, 128]
+        [jnp.concatenate([v1, zeros], 2), jnp.concatenate([zeros, v2], 2)], 1
+    )
     p_sum = (p1.astype(jnp.float32) + p2.astype(jnp.float32)).astype(jnp.bfloat16)
     p_diff = (p1.astype(jnp.float32) - p2.astype(jnp.float32)).astype(jnp.bfloat16)
-    vcat = jnp.concatenate([v1, v2], axis=2)  # [P, BK, 128]
-    vneg = jnp.concatenate([v1, -v2], axis=2)
+    vcat = jnp.concatenate([v1, v2], 2)
+    vneg = jnp.concatenate([v1, -v2], 2)
+    # D computes o^T = v^T @ p^T... we measure the SHAPE class with
+    # equivalent operands: [64, bq] x [bq, bk]. Use v-transposed-like lhs
+    # paired against p-transposed; numerics checked against A's transpose.
+    p1t = jnp.transpose(p1, (0, 2, 1))  # [P, BK, BQ]
+    p2t = jnp.transpose(p2, (0, 2, 1))
+    v1t = jnp.transpose(v1, (0, 2, 1))  # [P, 64, BK]
+    v2t = jnp.transpose(v2, (0, 2, 1))
 
-    base = make_call(
-        kern_baseline,
-        [(BQ, BK), (BQ, BK), (BK, D), (BK, D)],
-        [(BQ, D), (BQ, D)],
+    call_a = make_call(kern_a, [(BQ, BK)] * 2 + [(BK, D)] * 2, [(BQ, D)] * 2)
+    call_b = make_call(kern_b, [(BQ, 2 * BK), (2 * BK, 2 * D)], [(BQ, 2 * D)])
+    call_c = make_call(
+        kern_c, [(BQ, BK)] * 2 + [(BK, 2 * D)] * 2, [(BQ, 2 * D)]
     )
-    bdiag = make_call(kern_blockdiag, [(BQ, 2 * BK), (2 * BK, 2 * D)], [(BQ, 2 * D)])
-    sdiff = make_call(
-        kern_sumdiff,
-        [(BQ, BK), (BQ, BK), (BK, 2 * D), (BK, 2 * D)],
-        [(BQ, 2 * D)],
+    # o^T[64, bq] = v^T[64, bk] @ p^T[bk, bq]
+    call_d = make_call(
+        kern_d, [(D, BK)] * 2 + [(BK, BQ)] * 2, [(D, BQ)] * 2
+    )
+    do1 = jnp.asarray(rng.standard_normal((PAIRS, BQ, D)), jnp.bfloat16)
+    do2 = jnp.asarray(rng.standard_normal((PAIRS, BQ, D)), jnp.bfloat16)
+    call_e = make_call(
+        kern_e, [(BQ, D)] * 2 + [(BQ, BK)] * 2, [(D, BK)] * 2
     )
 
     def bench(tag, fn, *args):
         out = fn(*args)
         jax.block_until_ready(out)
-        # chained timing is awkward across shapes; use many reps + one sync
         t0 = time.time()
-        outs = []
-        for _ in range(REPS):
-            outs.append(fn(*args))
+        outs = [fn(*args) for _ in range(REPS)]
         jax.block_until_ready(outs)
         ms = (time.time() - t0) / REPS * 1e3
         print(json.dumps({"variant": tag, "ms_per_call": round(ms, 3)}), flush=True)
         return ms, out
 
-    t_base, o_base = bench("A baseline 2x[BQ,BK]x[BK,64]", base, p1, p2, v1, v2)
-    t_bd, o_bd = bench("B blockdiag [BQ,2BK]x[2BK,128]", bdiag, pcat, vbd)
-    t_sd, o_sd = bench("C sumdiff 2x[BQ,BK]x[BK,128]", sdiff, p_sum, p_diff, vcat, vneg)
+    t_a, o_a = bench("A baseline 2x[bq,bk]x[bk,64]", call_a, p1, p2, v1, v2)
+    t_b, o_b = bench("B blockdiag [bq,2bk]x[2bk,128]", call_b, pcat, vbd)
+    t_c, o_c = bench("C sumdiff 2x[bq,bk]x[bk,128]", call_c, p_sum, p_diff, vcat, vneg)
+    t_d, o_d = bench("D transposed 2x[64,bk]x[bk,bq]", call_d, v1t, v2t, p1t, p2t)
+    t_e, o_e = bench(
+        "E dot_general AtB 2x[bq,64]^Tx[bq,bk]", call_e, do1, do2, p1, p2
+    )
 
-    # correctness
-    ref1 = np.asarray(o_base[0], np.float32)
-    ref2 = np.asarray(o_base[1], np.float32)
-    got_bd = np.asarray(o_bd, np.float32)
-    got_sd = np.asarray(o_sd, np.float32)
-    err_bd = max(
-        np.abs(got_bd[..., :D] - ref1).max(), np.abs(got_bd[..., D:] - ref2).max()
-    )
-    err_sd = max(
-        np.abs(got_sd[..., :D] - ref1).max(), np.abs(got_sd[..., D:] - ref2).max()
-    )
+    ref1 = np.asarray(o_a[0], np.float32)
+    ref2 = np.asarray(o_a[1], np.float32)
     scale = np.abs(ref1).max()
+    errs = {
+        "B": max(
+            np.abs(np.asarray(o_b[0], np.float32)[..., :D] - ref1).max(),
+            np.abs(np.asarray(o_b[0], np.float32)[..., D:] - ref2).max(),
+        ),
+        "C": max(
+            np.abs(np.asarray(o_c[0], np.float32)[..., :D] - ref1).max(),
+            np.abs(np.asarray(o_c[0], np.float32)[..., D:] - ref2).max(),
+        ),
+        "D": max(
+            np.abs(
+                np.asarray(o_d[0], np.float32).transpose(0, 2, 1) - ref1
+            ).max(),
+            np.abs(
+                np.asarray(o_d[1], np.float32).transpose(0, 2, 1) - ref2
+            ).max(),
+        ),
+    }
+    # E computes dv^T = do^T @ p; reference via einsum
+    ref_e1 = np.einsum(
+        "pqd,pqk->pdk", np.asarray(do1, np.float32), np.asarray(p1, np.float32)
+    )
+    errs["E"] = np.abs(np.asarray(o_e[0], np.float32) - ref_e1).max()
+    e_scale = np.abs(ref_e1).max()
+    best = min(("B", t_b), ("C", t_c), ("D", t_d), ("E", t_e), key=lambda x: x[1])
     print(
         json.dumps(
             {
-                "speedup_blockdiag": round(t_base / t_bd, 3),
-                "speedup_sumdiff": round(t_base / t_sd, 3),
-                "err_blockdiag_rel": float(err_bd / scale),
-                "err_sumdiff_rel": float(err_sd / scale),
-                "verdict": "PACKING WINS — integrate into flash bwd"
-                if min(t_bd, t_sd) < 0.9 * t_base
-                else "break-even/loss — round-2 conclusion stands",
+                "speedup_vs_A": {
+                    "B": round(t_a / t_b, 3),
+                    "C": round(t_a / t_c, 3),
+                    "D": round(t_a / t_d, 3),
+                    "E": round(t_a / t_e, 3),
+                },
+                "rel_err": {
+                    k: float(v / (e_scale if k == "E" else scale))
+                    for k, v in errs.items()
+                },
+                "verdict": f"{best[0]} wins {t_a/best[1]:.2f}x — integrate"
+                if best[1] < 0.9 * t_a
+                else "break-even/loss — d=64 ceiling confirmed structural",
             }
         )
     )

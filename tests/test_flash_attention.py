@@ -225,3 +225,45 @@ def test_two_stream_backward_matches_single():
         fa.BWD_STREAMS = old
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transposed_backward_matches_baseline(monkeypatch):
+    """DCT_BWD_TRANSPOSED computes dk/dv/dq with [d, S]-oriented output
+    matmuls (full-lane MXU); same math, so grads must match the baseline
+    fused backward bit-for-bit up to f32 accumulation order — and both
+    must match XLA. Covers streams=1 and 2, ragged and d=64 shapes."""
+    for streams, (s, c, heads) in (
+        (1, (256, 128, 2)),
+        (2, (512, 256, 4)),   # two q-row streams, d=64 heads
+        (1, (192, 128, 2)),   # ragged (tail mask)
+    ):
+        monkeypatch.setattr(fa, "BWD_STREAMS", streams)
+        q, k, v = _qkv(s=s, c=c, seed=3)
+
+        def loss(q, k, v, heads=heads):
+            o = fa.flash_attention(
+                q, k, v, heads, block_q=128, block_k=128,
+                bwd_block_q=128, bwd_block_k=128, min_seq_len=1,
+            )
+            return jnp.sum(jnp.sin(o))
+
+        monkeypatch.setattr(fa, "BWD_TRANSPOSED", False)
+        g_base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.setattr(fa, "BWD_TRANSPOSED", True)
+        g_t = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_t, g_base, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"transposed grad d{name} mismatch "
+                        f"(streams={streams}, s={s}, c={c})",
+            )
+
+        def loss_ref(q, k, v, heads=heads):
+            return jnp.sum(jnp.sin(xla_attention(q, k, v, heads)))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_t, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
+                err_msg=f"transposed-vs-xla grad d{name} mismatch",
+            )
