@@ -35,6 +35,12 @@ import time
 import numpy as np
 
 BQ = int(os.environ.get("EN_BQ", "512"))
+# Inner repeats per grid step: the operands stream from HBM once and the
+# dots run R times over the VMEM-resident tiles, so the measurement is
+# MXU-rate-bound like the real flash kernel (where p is computed in VMEM),
+# not HBM-bound (first cut of this experiment measured pure bandwidth:
+# every variant ~1.7 ms at PAIRS=160 regardless of matmul shape).
+R = int(os.environ.get("EN_INNER", "8"))
 BK = int(os.environ.get("EN_BK", "1024"))
 PAIRS = int(os.environ.get("EN_PAIRS", "40"))
 REPS = int(os.environ.get("EN_REPS", "30"))
@@ -53,21 +59,35 @@ def main() -> None:
 
     # ---- kernels (each grid step = one pair of heads) ---------------------
     def kern_a(p1, p2, v1, v2, o1, o2):
-        o1[...] = dot(p1[...], v1[...]).astype(o1.dtype)
-        o2[...] = dot(p2[...], v2[...]).astype(o2.dtype)
+        acc1 = dot(p1[...], v1[...])
+        acc2 = dot(p2[...], v2[...])
+        for _ in range(R - 1):
+            acc1 += dot(p1[...], v1[...])
+            acc2 += dot(p2[...], v2[...])
+        o1[...] = (acc1 / R).astype(o1.dtype)
+        o2[...] = (acc2 / R).astype(o2.dtype)
 
     def kern_b(pcat, vbd, o):
-        o[...] = dot(pcat[...], vbd[...]).astype(o.dtype)
+        acc = dot(pcat[...], vbd[...])
+        for _ in range(R - 1):
+            acc += dot(pcat[...], vbd[...])
+        o[...] = (acc / R).astype(o.dtype)
 
     def kern_c(p_sum, p_diff, vcat, vneg, o):
-        a = dot(p_sum[...], vcat[...])
-        b = dot(p_diff[...], vneg[...])
-        o[...] = (0.5 * (a + b)).astype(o.dtype)
+        acc = dot(p_sum[...], vcat[...]) + dot(p_diff[...], vneg[...])
+        for _ in range(R - 1):
+            acc += dot(p_sum[...], vcat[...]) + dot(p_diff[...], vneg[...])
+        o[...] = (0.5 * acc / R).astype(o.dtype)
 
     def kern_d(dt1, dt2, p1, p2, o1, o2):
         # transposed orientation: [64, bq] x [bq, bk] -> [64, bk]
-        o1[...] = dot(dt1[...], p1[...]).astype(o1.dtype)
-        o2[...] = dot(dt2[...], p2[...]).astype(o2.dtype)
+        acc1 = dot(dt1[...], p1[...])
+        acc2 = dot(dt2[...], p2[...])
+        for _ in range(R - 1):
+            acc1 += dot(dt1[...], p1[...])
+            acc2 += dot(dt2[...], p2[...])
+        o1[...] = (acc1 / R).astype(o1.dtype)
+        o2[...] = (acc2 / R).astype(o2.dtype)
 
     def kern_e(do1, do2, p1, p2, o1, o2):
         # SURGICAL variant: same untransposed operands as the real bwd
@@ -81,8 +101,13 @@ def main() -> None:
                 preferred_element_type=jnp.float32,
             )
 
-        o1[...] = dott(do1[...], p1[...]).astype(o1.dtype)
-        o2[...] = dott(do2[...], p2[...]).astype(o2.dtype)
+        acc1 = dott(do1[...], p1[...])
+        acc2 = dott(do2[...], p2[...])
+        for _ in range(R - 1):
+            acc1 += dott(do1[...], p1[...])
+            acc2 += dott(do2[...], p2[...])
+        o1[...] = (acc1 / R).astype(o1.dtype)
+        o2[...] = (acc2 / R).astype(o2.dtype)
 
     def make_call(kern, in_shapes, out_shapes):
         def body(*refs):
@@ -122,11 +147,13 @@ def main() -> None:
             ],
         )
 
-    rng = np.random.default_rng(0)
-    p1 = jnp.asarray(rng.standard_normal((PAIRS, BQ, BK)), jnp.bfloat16)
-    p2 = jnp.asarray(rng.standard_normal((PAIRS, BQ, BK)), jnp.bfloat16)
-    v1 = jnp.asarray(rng.standard_normal((PAIRS, BK, D)), jnp.bfloat16)
-    v2 = jnp.asarray(rng.standard_normal((PAIRS, BK, D)), jnp.bfloat16)
+    # generate on-device (host->device of multi-100MB operands would
+    # crawl over the remote tunnel)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    p1 = jax.random.normal(ks[0], (PAIRS, BQ, BK), jnp.bfloat16)
+    p2 = jax.random.normal(ks[1], (PAIRS, BQ, BK), jnp.bfloat16)
+    v1 = jax.random.normal(ks[2], (PAIRS, BK, D), jnp.bfloat16)
+    v2 = jax.random.normal(ks[3], (PAIRS, BK, D), jnp.bfloat16)
 
     pcat = jnp.concatenate([p1, p2], axis=2)
     zeros = jnp.zeros((PAIRS, BK, D), jnp.bfloat16)
@@ -154,18 +181,24 @@ def main() -> None:
     call_d = make_call(
         kern_d, [(D, BK)] * 2 + [(BK, BQ)] * 2, [(D, BQ)] * 2
     )
-    do1 = jnp.asarray(rng.standard_normal((PAIRS, BQ, D)), jnp.bfloat16)
-    do2 = jnp.asarray(rng.standard_normal((PAIRS, BQ, D)), jnp.bfloat16)
+    kd = jax.random.split(jax.random.PRNGKey(1), 2)
+    do1 = jax.random.normal(kd[0], (PAIRS, BQ, D), jnp.bfloat16)
+    do2 = jax.random.normal(kd[1], (PAIRS, BQ, D), jnp.bfloat16)
     call_e = make_call(
         kern_e, [(BQ, D)] * 2 + [(BQ, BK)] * 2, [(D, BK)] * 2
     )
 
+    def sync(out):
+        # block_until_ready is a no-op on the remote-tunnel backend
+        # (PERF.md); fetching a scalar forces the queued chain to finish.
+        return float(jnp.sum(jax.tree.leaves(out)[0][0, :8, :8].astype(jnp.float32)))
+
     def bench(tag, fn, *args):
         out = fn(*args)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.time()
         outs = [fn(*args) for _ in range(REPS)]
-        jax.block_until_ready(outs)
+        sync(outs[-1])
         ms = (time.time() - t0) / REPS * 1e3
         print(json.dumps({"variant": tag, "ms_per_call": round(ms, 3)}), flush=True)
         return ms, out
@@ -178,32 +211,36 @@ def main() -> None:
         "E dot_general AtB 2x[bq,64]^Tx[bq,bk]", call_e, do1, do2, p1, p2
     )
 
-    ref1 = np.asarray(o_a[0], np.float32)
-    ref2 = np.asarray(o_a[1], np.float32)
+    # correctness on the first pair only (full-operand D2H over the
+    # tunnel would dwarf the measurement)
+    ref1 = np.asarray(o_a[0][:1], np.float32)
+    ref2 = np.asarray(o_a[1][:1], np.float32)
     scale = np.abs(ref1).max()
     errs = {
         "B": max(
-            np.abs(np.asarray(o_b[0], np.float32)[..., :D] - ref1).max(),
-            np.abs(np.asarray(o_b[0], np.float32)[..., D:] - ref2).max(),
+            np.abs(np.asarray(o_b[0][:1], np.float32)[..., :D] - ref1).max(),
+            np.abs(np.asarray(o_b[0][:1], np.float32)[..., D:] - ref2).max(),
         ),
         "C": max(
-            np.abs(np.asarray(o_c[0], np.float32)[..., :D] - ref1).max(),
-            np.abs(np.asarray(o_c[0], np.float32)[..., D:] - ref2).max(),
+            np.abs(np.asarray(o_c[0][:1], np.float32)[..., :D] - ref1).max(),
+            np.abs(np.asarray(o_c[0][:1], np.float32)[..., D:] - ref2).max(),
         ),
         "D": max(
             np.abs(
-                np.asarray(o_d[0], np.float32).transpose(0, 2, 1) - ref1
+                np.asarray(o_d[0][:1], np.float32).transpose(0, 2, 1) - ref1
             ).max(),
             np.abs(
-                np.asarray(o_d[1], np.float32).transpose(0, 2, 1) - ref2
+                np.asarray(o_d[1][:1], np.float32).transpose(0, 2, 1) - ref2
             ).max(),
         ),
     }
     # E computes dv^T = do^T @ p; reference via einsum
     ref_e1 = np.einsum(
-        "pqd,pqk->pdk", np.asarray(do1, np.float32), np.asarray(p1, np.float32)
+        "pqd,pqk->pdk",
+        np.asarray(do1[:1], np.float32),
+        np.asarray(p1[:1], np.float32),
     )
-    errs["E"] = np.abs(np.asarray(o_e[0], np.float32) - ref_e1).max()
+    errs["E"] = np.abs(np.asarray(o_e[0][:1], np.float32) - ref_e1).max()
     e_scale = np.abs(ref_e1).max()
     best = min(("B", t_b), ("C", t_c), ("D", t_d), ("E", t_e), key=lambda x: x[1])
     print(

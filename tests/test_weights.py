@@ -340,3 +340,93 @@ def test_safetensors_file_roundtrip(tmp_path):
     assert set(loaded) == set(state)
     with pytest.raises(FileNotFoundError):
         weights.load_safetensors_dir(tmp_path / "missing")
+
+
+def test_load_bundle_from_exported_checkpoint_dir(tmp_path):
+    """Directory-level load path (the synthetic-checkpoint drill at tiny
+    scale): write a full HF-layout checkpoint via the exporters + config
+    JSONs, load_bundle it, and run one guided step. Covers the config
+    readers (unet/vae/text/scheduler JSON), the safetensors merge, and the
+    converter wiring that scripts/make_synthetic_checkpoint.py relies on."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from depth_completion_tpu.models import vae_kl
+    from depth_completion_tpu.models.bundle import load_bundle
+    from depth_completion_tpu.models.clip_text import init_text_encoder
+    from depth_completion_tpu.pipeline import DepthCompletionPipeline
+
+    ucfg, vcfg, tcfg = (
+        registry.TINY_UNET_CONFIG, registry.TINY_VAE_CONFIG,
+        registry.TINY_TEXT_CONFIG,
+    )
+    root = tmp_path / "ckpt"
+    (root / "unet").mkdir(parents=True)
+    (root / "vae").mkdir()
+    (root / "text_encoder").mkdir()
+    (root / "scheduler").mkdir()
+
+    def f16(state):
+        return {k: np.asarray(v, np.float16) for k, v in state.items()}
+
+    save_file(
+        f16(weights.to_diffusers_unet_state(init_unet(jax.random.PRNGKey(0), ucfg))),
+        str(root / "unet" / "diffusion_pytorch_model.safetensors"),
+    )
+    (root / "unet" / "config.json").write_text(json.dumps({
+        "block_out_channels": list(ucfg.block_out_channels),
+        "down_block_types": ["CrossAttnDownBlock2D", "DownBlock2D"],
+        "attention_head_dim": list(ucfg.num_heads),
+        "in_channels": ucfg.in_channels,
+        "out_channels": ucfg.out_channels,
+        "layers_per_block": ucfg.layers_per_block,
+        "cross_attention_dim": ucfg.cross_attention_dim,
+        "norm_num_groups": ucfg.norm_groups,
+    }))
+    save_file(
+        f16(weights.to_diffusers_vae_state(vae_kl.init_vae(jax.random.PRNGKey(1), vcfg))),
+        str(root / "vae" / "diffusion_pytorch_model.safetensors"),
+    )
+    (root / "vae" / "config.json").write_text(json.dumps({
+        "block_out_channels": list(vcfg.block_out_channels),
+        "layers_per_block": vcfg.layers_per_block,
+        "norm_num_groups": vcfg.norm_groups,
+        "latent_channels": vcfg.latent_channels,
+    }))
+    save_file(
+        f16(weights.to_transformers_text_encoder_state(
+            init_text_encoder(jax.random.PRNGKey(2), tcfg))),
+        str(root / "text_encoder" / "model.safetensors"),
+    )
+    (root / "text_encoder" / "config.json").write_text(json.dumps({
+        "vocab_size": tcfg.vocab_size,
+        "hidden_size": tcfg.hidden_size,
+        "num_hidden_layers": tcfg.num_layers,
+        "num_attention_heads": tcfg.num_heads,
+        "intermediate_size": tcfg.intermediate_size,
+    }))
+    (root / "scheduler" / "scheduler_config.json").write_text(json.dumps({
+        "prediction_type": "v_prediction",
+        "beta_schedule": "scaled_linear",
+        "clip_sample": False,
+    }))
+
+    bundle = load_bundle(root, vae_kind="kl", dtype=jnp.float32)
+    assert bundle.unet_config == registry.unet_config_from_diffusers(
+        json.loads((root / "unet" / "config.json").read_text())
+    )
+    assert bundle.ddim_config is not None
+    assert bundle.ddim_config.prediction_type == "v_prediction"
+    # the cross-attention context width matches the tiny tower
+    assert bundle.text_context.shape == (1, 2, tcfg.hidden_size)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, size=(1, 32, 48, 3)).astype(np.float32)
+    sp = np.zeros((1, 32, 48, 1), np.float32)
+    sp[0, ::8, ::8, 0] = rng.uniform(2.0, 80.0, sp[0, ::8, ::8, 0].shape)
+    denses, _ = DepthCompletionPipeline(bundle)(
+        img, sp, max_depth=120.0, steps=2, resolution=32
+    )
+    assert np.isfinite(np.asarray(denses)).all()
