@@ -12,7 +12,8 @@ Geometries primed (processing resolution 768, the reference default):
   - square            768x768  -> 96x96 latent
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/warm_cache.py
-Env: WARM_BATCHES (default "1"), WARM_STEPS (default 50),
+Env: WARM_BATCHES (default "1"), WARM_STEPS (default 50), WARM_CARRY=1
+     (also prime the batch-1 temporal-carry / serving-session program),
      WARM_ENSEMBLE (default ""), JAX_COMPILATION_CACHE_DIR
      (default /tmp/dct_xla_cache).
 """
@@ -70,6 +71,9 @@ def main() -> None:
     )
     fn = jax.jit(guided_sample, static_argnames=("cfg",))
 
+    from depth_completion_tpu.ops.resize import latent_size
+
+    warm_carry = os.environ.get("WARM_CARRY", "0") == "1"
     for name, (h, w) in GEOMETRIES.items():
         for n in batches:
             images = jnp.zeros((n, h, w, 3), jnp.float32)
@@ -80,6 +84,21 @@ def main() -> None:
             dt = time.time() - t0
             print(f"{name} batch={n}: compiled in {dt:.1f}s "
                   f"(flops {compiled.cost_analysis().get('flops', 0) / 1e12:.2f}T)",
+                  flush=True)
+        if warm_carry:
+            # temporal-carry program (use_prev_latent / serving sessions,
+            # batch 1 — the coerced batch size for that mode): a distinct
+            # jit signature, otherwise the second video frame compiles cold
+            eh, ew = latent_size((h, w), cfg.resolution, 8)
+            t0 = time.time()
+            fn.lower(
+                bundle,
+                jnp.zeros((1, h, w, 3), jnp.float32),
+                jnp.zeros((1, h, w, 1), jnp.float32),
+                cfg,
+                jnp.zeros((1, eh, ew, 4), jnp.float32),
+            ).compile()
+            print(f"{name} carry: compiled in {time.time() - t0:.1f}s",
                   flush=True)
     if ens:
         from depth_completion_tpu.parallel.ensemble import ensemble_sample
