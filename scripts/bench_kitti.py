@@ -1,8 +1,8 @@
 """KITTI north-star config benchmark (BASELINE.md targets table).
 
 Drives the REAL predict CLI at the KITTI-DC geometry — 1216×352 frames,
-50-step guided DDIM, processing res 768, 5-member ensemble with median
-reduce, bf16, TAESD — over a synthetic dataset (random weights; throughput
+50-step guided DDIM, processing res 768, 5-member ensemble with the
+BASELINE config's median/alignment reduce (KB_REDUCE overrides), bf16, TAESD — over a synthetic dataset (random weights; throughput
 is weight-independent), and prints one JSON line with frames/s/chip,
 per-frame wall time, compile time, and the device HBM high-water mark.
 
@@ -48,7 +48,8 @@ def main():
         sys.executable, "-m", "depth_completion_tpu.cli.predict",
         str(data), str(out),
         "--model", "random", "--steps", str(STEPS), "--res", "768",
-        "--ensemble", str(ENSEMBLE), "--ensemble-reduce", "median",
+        "--ensemble", str(ENSEMBLE),
+        "--ensemble-reduce", os.environ.get("KB_REDUCE", "aligned-median"),
         "--batch-size", str(BATCH),
         "--compress", "npy", "--vis", "false", "--log-level", "INFO",
     ]
@@ -81,7 +82,8 @@ def main():
         "value": round(BATCH / steady, 4),
         "unit": "frames/s",
         "config": f"1216x352, {STEPS}-step guided DDIM, res 768, "
-        f"ensemble {ENSEMBLE} (median), batch {BATCH}, bf16, taesd",
+        f"ensemble {ENSEMBLE} ({os.environ.get('KB_REDUCE', 'aligned-median')}), "
+        f"batch {BATCH}, bf16, taesd",
         "s_per_frame": round(steady / BATCH, 2),
         "frames": FRAMES,
         "compile_plus_first_s": round(infer[0], 1) if infer else None,
