@@ -652,3 +652,44 @@ def test_http_timeout_returns_504():
         release.set()
         srv.shutdown()
         eng.shutdown()
+
+
+def test_engine_session_keeps_fifo_slot():
+    """Batch collection stops at a session request instead of jumping past
+    it: [plain, session, plain] on one geometry runs as three batches in
+    arrival order (sessions run alone; later plain requests must not
+    overtake the session frame)."""
+    entered = threading.Event()
+    release = threading.Event()
+    batches: list[tuple[int, str | None]] = []
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            batches.append(
+                (images.shape[0], "carry" if "pred_latents_prev" in k else None)
+            )
+            if len(batches) == 1:
+                entered.set()
+                release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0), max_batch=4, max_delay_ms=50.0
+    )
+    try:
+        img, sp = _frame(0)
+        first = eng.submit(ServeRequest(image=img, sparse=sp))
+        assert entered.wait(10)
+        plain_a = eng.submit(ServeRequest(image=img, sparse=sp))
+        sess = eng.submit(ServeRequest(image=img, sparse=sp, session="v1"))
+        plain_b = eng.submit(ServeRequest(image=img, sparse=sp))
+        release.set()
+        for r in (first, plain_a, sess, plain_b):
+            r.wait(30)
+        # batch 2 = [plain_a] (stops at the session head), batch 3 = [sess]
+        # alone, batch 4 = [plain_b]
+        assert [b[0] for b in batches] == [1, 1, 1, 1], batches
+        assert eng.stats()["batches"] == 4
+    finally:
+        release.set()
+        eng.shutdown()
