@@ -125,6 +125,23 @@ def _parse_geometry(value: str) -> tuple[int, int]:
 @click.option("--warmup", type=CommaSeparated(str), default=None,
               help="Comma-separated HxW geometries to compile before "
               "accepting traffic, e.g. 480x640,352x1216.")
+@click.option("--warmup-parallel", type=click.IntRange(min=1), default=1,
+              show_default=True,
+              help="Compile up to this many warmup programs concurrently "
+              "(XLA compilation releases the GIL, so distinct programs "
+              "overlap on host cores; executions still serialize on the "
+              "device). Keep <= --max-programs when that bound is set.")
+@click.option("--warmup-tiered/--no-warmup-tiered", default=False,
+              show_default=True,
+              help="Serve first, optimize later: compile fast low-effort "
+              "tier-0 programs (~5x faster cold start at ~1.9x slower "
+              "steps, measured on v5e), open for traffic, then recompile "
+              "each signature at full effort in the background and swap "
+              "dispatch as it lands. Steady-state throughput unchanged.")
+@click.option("--tier-effort", type=click.FloatRange(min=-1.0, max=0.0),
+              default=-1.0, show_default=True,
+              help="XLA exec_time_optimization_effort for tier-0 programs "
+              "(-1.0 = fastest compile; see PERF.md round-4 sweep).")
 @click.option("--max-programs", type=click.IntRange(min=1), default=None,
               help="Bound the number of live compiled (geometry, bucket) "
               "programs; least-recently-used programs are evicted to free "
@@ -174,6 +191,9 @@ def run_serve(
     max_programs: int | None,
     log: Path | None,
     log_level: str,
+    warmup_parallel: int = 1,
+    warmup_tiered: bool = False,
+    tier_effort: float = -1.0,
     *,
     serve_forever: bool = True,
 ):
@@ -241,9 +261,21 @@ def run_serve(
 
     if warmup:
         geoms = [_parse_geometry(g) for g in warmup]
-        logger.info(f"Warming up {len(geoms)} geometries: {geoms}")
-        engine.warmup(geoms)
-        logger.success("Warmup complete")
+        logger.info(
+            f"Warming up {len(geoms)} geometries: {geoms} "
+            f"(parallel={warmup_parallel}, tiered={warmup_tiered})"
+        )
+        engine.warmup(
+            geoms,
+            parallel=warmup_parallel,
+            tiered=warmup_tiered,
+            tier_effort=tier_effort,
+        )
+        logger.success(
+            "Warmup complete"
+            + (" (tier-0; full programs promoting in background)"
+               if warmup_tiered else "")
+        )
 
     httpd = make_server(engine, host=host, port=port)
     bound = httpd.server_address

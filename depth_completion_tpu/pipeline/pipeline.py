@@ -13,6 +13,7 @@ them host-side when saving). A `from_nchw` helper eases porting.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from collections import OrderedDict
 from typing import Any
 
@@ -66,7 +67,12 @@ class DepthCompletionPipeline:
     the final latents for temporal carry.
     """
 
-    def __init__(self, bundle: ModelBundle, max_programs: int | None = None):
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        max_programs: int | None = None,
+        compiler_options: dict | None = None,
+    ):
         """``max_programs``: bound the number of live compiled programs.
 
         Default (None) shares the module-level jit wrappers — programs for
@@ -76,27 +82,48 @@ class DepthCompletionPipeline:
         signature gets a PRIVATE jit wrapper held in an LRU dict, so
         evicting the least-recently-used wrapper frees its compiled
         executable (and the device memory the program text occupies).
-        Not thread-safe by itself — the serving engine's single dispatch
-        thread (serving/engine.py) is the intended caller.
+        The LRU bookkeeping is lock-guarded so concurrent warmup threads
+        (serving/engine.py warmup(parallel=N)) stay correct; steady-state
+        traffic still flows through the engine's single dispatch thread.
+
+        ``compiler_options``: XLA options applied to every program this
+        pipeline compiles — e.g. ``{"exec_time_optimization_effort": -1.0}``
+        trades ~1.9× slower steps for ~5× faster cold compile (measured on
+        v5e, PERF.md round-4), which is the serving tier-0 warmup program.
+        Setting this forces private per-signature jit wrappers (the
+        module-level shared wrappers are default-options only).
         """
         self.bundle = bundle
         self.max_programs = max_programs
+        self.compiler_options = dict(compiler_options) if compiler_options else None
         self._programs: "OrderedDict[tuple, Any]" = OrderedDict()
+        self._programs_lock = threading.Lock()
 
     def program_keys(self) -> list[tuple]:
         """Live private-program signatures, oldest first (diagnostics)."""
-        return list(self._programs)
+        with self._programs_lock:
+            return list(self._programs)
 
     def _lru_program(self, key: tuple, make):
-        fn = self._programs.get(key)
-        if fn is None:
-            fn = make()
-            self._programs[key] = fn
-            while len(self._programs) > self.max_programs:
-                self._programs.popitem(last=False)  # executable freed w/ wrapper
-        else:
-            self._programs.move_to_end(key)
-        return fn
+        with self._programs_lock:
+            fn = self._programs.get(key)
+            if fn is None:
+                fn = make()
+                self._programs[key] = fn
+                if self.max_programs is not None:
+                    while len(self._programs) > self.max_programs:
+                        # executable freed w/ wrapper
+                        self._programs.popitem(last=False)
+            else:
+                self._programs.move_to_end(key)
+            return fn
+
+    @property
+    def _private_programs(self) -> bool:
+        """Private per-signature jit wrappers are needed when programs must
+        be individually evictable (max_programs) or compiled with
+        non-default XLA options (compiler_options)."""
+        return self.max_programs is not None or self.compiler_options is not None
 
     def __call__(
         self,
@@ -226,7 +253,7 @@ class DepthCompletionPipeline:
                     "temporal latent carry is not supported with ensembling"
                 )
             ens_fn = _jitted_ensemble
-            if self.max_programs is not None:
+            if self._private_programs:
                 key = (
                     "ensemble", tuple(images.shape), cfg,
                     ensemble_size, ensemble_reduce, ensemble_mesh,
@@ -240,6 +267,7 @@ class DepthCompletionPipeline:
                             "cfg", "ensemble_size", "reduce", "mesh",
                             "uncertainty",
                         ),
+                        compiler_options=self.compiler_options,
                     ),
                 )
             out = ens_fn(
@@ -259,7 +287,7 @@ class DepthCompletionPipeline:
             return out
 
         fn = _jitted_sample
-        if self.max_programs is not None:
+        if self._private_programs:
             carry_shape = (
                 tuple(pred_latents_prev.shape)
                 if pred_latents_prev is not None
@@ -268,9 +296,17 @@ class DepthCompletionPipeline:
             key = ("sample", tuple(images.shape), cfg, carry_shape)
             fn = self._lru_program(
                 key,
-                lambda: jax.jit(guided_sample, static_argnames=("cfg",)),
+                lambda: jax.jit(
+                    guided_sample,
+                    static_argnames=("cfg",),
+                    compiler_options=self.compiler_options,
+                ),
             )
         return fn(self.bundle, images, sparses, cfg, pred_latents_prev)
 
     def replace_bundle(self, **changes: Any) -> "DepthCompletionPipeline":
-        return DepthCompletionPipeline(dataclasses.replace(self.bundle, **changes))
+        return DepthCompletionPipeline(
+            dataclasses.replace(self.bundle, **changes),
+            max_programs=self.max_programs,
+            compiler_options=self.compiler_options,
+        )

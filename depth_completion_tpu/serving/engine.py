@@ -168,6 +168,14 @@ class ServingEngine:
         self._latencies: deque[float] = deque(maxlen=512)
         self._warm = False
         self._stop = False
+        # Tiered warmup state (see warmup(tiered=True)): while _tier0_pipe
+        # is set, signatures not yet in _full_ready dispatch to the fast
+        # low-effort-compiled programs; the background thread compiles the
+        # full-effort program per signature and flips it here.
+        self._tier0_pipe: Any = None
+        self._tier0_ready: set[tuple] = set()
+        self._full_ready: set[tuple] = set()
+        self._tier_lock = threading.Lock()
         # Dispatch/finish pipelining: the worker enqueues each dispatched
         # batch (JAX returns async device arrays) and immediately collects
         # the next one, while the finisher thread materializes results —
@@ -262,7 +270,24 @@ class ServingEngine:
             ServeRequest(image=image, sparse=sparse, session=session)
         ).wait(timeout)
 
-    def warmup(self, geometries: list[tuple[int, int]]) -> None:
+    def _make_tier0_pipe(self, effort: float) -> Any:
+        """Low-compile-effort twin of self.pipe sharing its bundle (weights
+        are shared device arrays — no extra parameter memory)."""
+        from depth_completion_tpu.pipeline import DepthCompletionPipeline
+
+        return DepthCompletionPipeline(
+            self.pipe.bundle,
+            max_programs=getattr(self.pipe, "max_programs", None),
+            compiler_options={"exec_time_optimization_effort": float(effort)},
+        )
+
+    def warmup(
+        self,
+        geometries: list[tuple[int, int]],
+        parallel: int | None = None,
+        tiered: bool = False,
+        tier_effort: float = -1.0,
+    ) -> None:
         """Compile (or cache-load) every (geometry, batch-bucket) program,
         plus the session-carry variant per geometry.
 
@@ -272,32 +297,128 @@ class ServingEngine:
         carry program (``pred_latents_prev`` supplied — second frame of any
         session) is a distinct jit signature; without warming it, the first
         carry frame would trigger a cold compile (minutes at production
-        geometry) on the compute thread, stalling all traffic behind it."""
+        geometry) on the compute thread, stalling all traffic behind it.
+
+        ``parallel``: compile up to this many programs concurrently. XLA
+        backend compilation releases the GIL, so *distinct* programs
+        overlap on host cores while their single executions still
+        serialize on the device; with G geometries × B buckets the
+        compile wall-clock approaches the slowest single program instead
+        of the sum (measured in PERF.md round-4). Default (None/1) keeps
+        the serial order. The pipeline's program LRU is lock-guarded, so
+        concurrent warmup calls are safe even with ``max_programs`` set —
+        but keep ``parallel <= max_programs`` or eviction can race ahead
+        of the warm set.
+
+        ``tiered``: serve first, optimize later. Compiles every program at
+        low XLA effort first (``tier_effort``; -1.0 cuts the measured v5e
+        cold start ~5× at ~1.9× slower steps, PERF.md round-4), opens for
+        traffic on those tier-0 programs, then recompiles each signature
+        at full effort on a background thread and atomically swaps
+        dispatch to the full program as it becomes ready. Steady-state
+        throughput is untouched; only the first minutes of traffic run on
+        the slower tier. Numerics: both tiers run the same math — XLA
+        optimization level may reorder reductions, so results can differ
+        in low-order bits between tiers (same class as any recompile).
+        """
+        if tiered:
+            with self._tier_lock:
+                self._tier0_pipe = self._make_tier0_pipe(tier_effort)
+                self._tier0_ready = set()
+                self._full_ready = set()
         rng = np.random.default_rng(0)
+        # job = (signature key, images, sparses, carry); key mirrors the
+        # dispatch-side _program_key so tier swaps match live batches
+        jobs: list[tuple[tuple, np.ndarray, np.ndarray, np.ndarray | None]] = []
+        from depth_completion_tpu.ops.resize import latent_size
+
+        resolution = int(self.call_kwargs.get("resolution", 768))
         for h, w in geometries:
             img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
             sparse = np.zeros((h, w, 1), np.float32)
             sparse[h // 2, w // 2, 0] = 1.0
             sparse[h // 4, w // 4, 0] = self.call_kwargs["max_depth"] / 2
-            latents = None
             for b in self.batch_buckets:
-                _, lat = self.pipe(
-                    np.repeat(img[None], b, 0),
-                    np.repeat(sparse[None], b, 0),
-                    **self.call_kwargs,
+                jobs.append(
+                    (
+                        ((h, w), b, False),
+                        np.repeat(img[None], b, 0),
+                        np.repeat(sparse[None], b, 0),
+                        None,
+                    )
                 )
-                if latents is None or b == 1:
-                    latents = np.asarray(lat)[:1]
             # carry variant (sessions run unbatched, so batch 1 suffices);
-            # the just-returned latents have exactly the carry's shape
-            if latents is not None:
-                self.pipe(
+            # shape-only for compilation — zeros are a valid prior latent,
+            # and computing the shape up front keeps the job independent
+            # so it can compile concurrently with the bucket programs
+            factor = getattr(
+                getattr(getattr(self.pipe, "bundle", None), "vae", None),
+                "downsample_factor",
+                8,  # the SD/TAESD constant; only test fakes lack a bundle
+            )
+            eh, ew = latent_size((h, w), resolution, factor)
+            jobs.append(
+                (
+                    ((h, w), 1, True),
                     img[None],
                     sparse[None],
-                    pred_latents_prev=latents,
-                    **self.call_kwargs,
+                    np.zeros((1, eh, ew, 4), np.float32),
                 )
+            )
+
+        def run(pipe: Any, job: tuple) -> None:
+            _, images, sparses, carry = job
+            kwargs = dict(self.call_kwargs)
+            if carry is not None:
+                kwargs["pred_latents_prev"] = carry
+            pipe(images, sparses, **kwargs)
+
+        first_pipe = self._tier0_pipe if tiered else self.pipe
+        if parallel is not None and parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallel) as ex:
+                # list() re-raises the first failure, like the serial path
+                list(ex.map(lambda j: run(first_pipe, j), jobs))
+        else:
+            for job in jobs:
+                run(first_pipe, job)
+        if tiered:
+            with self._tier_lock:
+                # only signatures warmed at tier-0 may dispatch there;
+                # anything else (new geometry mid-flight) goes straight to
+                # the full pipe, exactly as without tiering
+                self._tier0_ready = {j[0] for j in jobs}
+            threading.Thread(
+                target=self._promote_full_programs,
+                args=(jobs,),
+                name="dct-serving-tier-promote",
+                daemon=True,
+            ).start()
         self._warm = True
+
+    def _promote_full_programs(self, jobs: list[tuple]) -> None:
+        """Background full-effort compiles: one signature at a time (each
+        runs once on the device — seconds — while its compile dominates),
+        flipping dispatch per signature as it lands; tier-0 executables are
+        dropped when every signature is promoted."""
+        for job in jobs:
+            if self._stop:
+                return
+            key = job[0]
+            try:
+                kwargs = dict(self.call_kwargs)
+                if job[3] is not None:
+                    kwargs["pred_latents_prev"] = job[3]
+                self.pipe(job[1], job[2], **kwargs)
+            except Exception:
+                # tier-0 keeps serving this signature; next round retries
+                continue
+            with self._tier_lock:
+                self._full_ready.add(key)
+        with self._tier_lock:
+            if self._full_ready >= self._tier0_ready:
+                self._tier0_pipe = None  # frees tier-0 executables
 
     @property
     def warm(self) -> bool:
@@ -322,6 +443,12 @@ class ServingEngine:
             out["pending"] = self._pending
         if hasattr(self.pipe, "program_keys"):
             out["pipe_programs"] = len(self.pipe.program_keys())
+        with self._tier_lock:
+            if self._tier0_pipe is not None:
+                out["tier0_active"] = True
+                out["tier_promoted"] = (
+                    f"{len(self._full_ready)}/{len(self._tier0_ready)}"
+                )
         return out
 
     def reset_session(self, session: str) -> bool:
@@ -475,7 +602,19 @@ class ServingEngine:
             if held is not None:
                 kwargs["pred_latents_prev"] = held[0]
 
-        denses, latents = self.pipe(images, sparses, **kwargs)
+        # Tiered warmup: while a signature's full-effort program is still
+        # compiling in the background, dispatch to its tier-0 (fast-compile,
+        # slower-step) twin; everything else takes the full pipe.
+        key = (geo, n + pad, "pred_latents_prev" in kwargs)
+        with self._tier_lock:
+            use_tier0 = (
+                self._tier0_pipe is not None
+                and key in self._tier0_ready
+                and key not in self._full_ready
+            )
+            pipe = self._tier0_pipe if use_tier0 else self.pipe
+
+        denses, latents = pipe(images, sparses, **kwargs)
 
         if session is not None:
             # store the (possibly still-executing) device array; JAX

@@ -14,8 +14,10 @@ Geometries primed (processing resolution 768, the reference default):
 Run: PYTHONPATH=.:/root/.axon_site python scripts/warm_cache.py
 Env: WARM_BATCHES (default "1"), WARM_STEPS (default 50), WARM_CARRY=1
      (also prime the batch-1 temporal-carry / serving-session program),
-     WARM_ENSEMBLE (default ""), JAX_COMPILATION_CACHE_DIR
-     (default /tmp/dct_xla_cache).
+     WARM_ENSEMBLE (default ""), WARM_PARALLEL (default 1: compile up to
+     N distinct programs concurrently — XLA compilation releases the GIL;
+     wall-clock approaches the slowest program instead of the sum),
+     JAX_COMPILATION_CACHE_DIR (default /tmp/dct_xla_cache).
 """
 
 from __future__ import annotations
@@ -74,32 +76,59 @@ def main() -> None:
     from depth_completion_tpu.ops.resize import latent_size
 
     warm_carry = os.environ.get("WARM_CARRY", "0") == "1"
+    parallel = int(os.environ.get("WARM_PARALLEL", "1"))
+
+    jobs: list[tuple[str, tuple]] = []  # (label, lower-args)
     for name, (h, w) in GEOMETRIES.items():
         for n in batches:
-            images = jnp.zeros((n, h, w, 3), jnp.float32)
-            sparses = jnp.zeros((n, h, w, 1), jnp.float32)
-            t0 = time.time()
-            lowered = fn.lower(bundle, images, sparses, cfg)
-            compiled = lowered.compile()
-            dt = time.time() - t0
-            print(f"{name} batch={n}: compiled in {dt:.1f}s "
-                  f"(flops {compiled.cost_analysis().get('flops', 0) / 1e12:.2f}T)",
-                  flush=True)
+            jobs.append(
+                (
+                    f"{name} batch={n}",
+                    (
+                        bundle,
+                        jnp.zeros((n, h, w, 3), jnp.float32),
+                        jnp.zeros((n, h, w, 1), jnp.float32),
+                        cfg,
+                    ),
+                )
+            )
         if warm_carry:
             # temporal-carry program (use_prev_latent / serving sessions,
             # batch 1 — the coerced batch size for that mode): a distinct
             # jit signature, otherwise the second video frame compiles cold
             eh, ew = latent_size((h, w), cfg.resolution, 8)
-            t0 = time.time()
-            fn.lower(
-                bundle,
-                jnp.zeros((1, h, w, 3), jnp.float32),
-                jnp.zeros((1, h, w, 1), jnp.float32),
-                cfg,
-                jnp.zeros((1, eh, ew, 4), jnp.float32),
-            ).compile()
-            print(f"{name} carry: compiled in {time.time() - t0:.1f}s",
-                  flush=True)
+            jobs.append(
+                (
+                    f"{name} carry",
+                    (
+                        bundle,
+                        jnp.zeros((1, h, w, 3), jnp.float32),
+                        jnp.zeros((1, h, w, 1), jnp.float32),
+                        cfg,
+                        jnp.zeros((1, eh, ew, 4), jnp.float32),
+                    ),
+                )
+            )
+
+    def prime(job: tuple[str, tuple]) -> None:
+        label, args = job
+        t0 = time.time()
+        compiled = fn.lower(*args).compile()
+        print(f"{label}: compiled in {time.time() - t0:.1f}s "
+              f"(flops {compiled.cost_analysis().get('flops', 0) / 1e12:.2f}T)",
+              flush=True)
+
+    if parallel > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=parallel) as ex:
+            list(ex.map(prime, jobs))
+        print(f"{len(jobs)} programs primed in {time.time() - t0:.1f}s "
+              f"(parallel={parallel})", flush=True)
+    else:
+        for job in jobs:
+            prime(job)
     if ens:
         from depth_completion_tpu.parallel.ensemble import ensemble_sample
 

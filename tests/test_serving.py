@@ -628,6 +628,135 @@ def test_pipeline_lru_program_cache():
     assert len(pipe.program_keys()) == 2
 
 
+def test_engine_warmup_parallel():
+    """warmup(parallel=N) compiles the same program set as the serial
+    path (every bucket + the carry variant per geometry) with jobs
+    genuinely overlapping in threads."""
+    import time as _time
+
+    calls: list[tuple[int, bool]] = []
+    inflight = [0]
+    peak = [0]
+    lock = threading.Lock()
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            with lock:
+                inflight[0] += 1
+                peak[0] = max(peak[0], inflight[0])
+                calls.append((images.shape[0], "pred_latents_prev" in k))
+            _time.sleep(0.2)  # hold the slot so overlap is observable
+            with lock:
+                inflight[0] -= 1
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_Pipe(), dict(max_depth=120.0), max_batch=4)
+    try:
+        eng.warmup([(H, W), (W, H)], parallel=3)
+        assert eng.warm
+        # per geometry: bucket 1, bucket 4, and the batch-1 carry variant
+        assert sorted(calls) == sorted(
+            [(1, False), (4, False), (1, True)] * 2
+        )
+        assert peak[0] > 1, "parallel warmup jobs never overlapped"
+    finally:
+        eng.shutdown()
+
+
+def test_engine_tiered_warmup_promotes():
+    """Tiered warmup: traffic flows on tier-0 programs while full-effort
+    programs compile in the background; each signature flips to the full
+    pipe as it lands, and tier-0 is dropped once all are promoted."""
+    import time as _time
+
+    tier0_calls: list[tuple[int, bool]] = []
+    full_calls: list[tuple[int, bool]] = []
+    promote_gate = threading.Event()  # holds the background full compiles
+
+    class _FullPipe:
+        def __call__(self, images, sparses, **k):
+            full_calls.append((images.shape[0], "pred_latents_prev" in k))
+            promote_gate.wait(60)
+            return _fake_pipe_result(images)
+
+    class _Tier0Pipe:
+        def __call__(self, images, sparses, **k):
+            tier0_calls.append((images.shape[0], "pred_latents_prev" in k))
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_FullPipe(), dict(max_depth=120.0), max_batch=2)
+    eng._make_tier0_pipe = lambda effort: _Tier0Pipe()
+    try:
+        eng.warmup([(H, W)], tiered=True)
+        # tier-0 warmed every bucket + the carry variant; warmup returned
+        # without waiting for any full-effort compile
+        assert sorted(tier0_calls) == sorted(
+            [(1, False), (2, False), (1, True)]
+        )
+        st = eng.stats()
+        assert st.get("tier0_active") is True
+        assert st.get("tier_promoted") == "0/3"
+        # live traffic during promotion dispatches to tier-0
+        img, sp = _frame(0)
+        n0 = len(tier0_calls)
+        out = eng.complete(img, sp, timeout=30)
+        assert out.shape == (H, W, 1)
+        assert len(tier0_calls) == n0 + 1
+        # release the background compiles; tier-0 drops when all promote
+        promote_gate.set()
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            with eng._tier_lock:
+                if eng._tier0_pipe is None:
+                    break
+            _time.sleep(0.05)
+        with eng._tier_lock:
+            assert eng._tier0_pipe is None
+        # traffic now takes the full pipe
+        n_full = len(full_calls)
+        eng.complete(img, sp, timeout=30)
+        assert len(full_calls) == n_full + 1
+        assert len(tier0_calls) == n0 + 1  # tier-0 saw nothing new
+    finally:
+        promote_gate.set()
+        eng.shutdown()
+
+
+def test_pipeline_lru_thread_safety():
+    """Concurrent callers hammering the LRU program cache (the parallel
+    warmup path) never corrupt it: the bound holds and every caller gets
+    a working program."""
+    from depth_completion_tpu.pipeline import DepthCompletionPipeline
+
+    pipe = DepthCompletionPipeline.__new__(DepthCompletionPipeline)
+    pipe.max_programs = 3
+    from collections import OrderedDict
+
+    pipe._programs = OrderedDict()
+    pipe._programs_lock = threading.Lock()
+
+    errors: list[Exception] = []
+
+    def worker(seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        try:
+            for _ in range(200):
+                key = ("sample", int(rng.integers(0, 8)))
+                fn = pipe._lru_program(key, lambda: (lambda: key))
+                assert callable(fn)
+                assert len(pipe.program_keys()) <= 3
+        except Exception as exc:  # surfaced after join
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert not errors, errors
+    assert len(pipe.program_keys()) <= 3
+
+
 def test_http_timeout_returns_504():
     """A client-side wait timeout is 504 (work may still complete), NOT
     503 (load shedding, retry-now) — load balancers treat them differently."""
