@@ -115,6 +115,13 @@ from depth_completion_tpu.logger import LOG_LEVELS, logger
 @click.option("--compile-mode", type=click.Choice(["max-autotune", "reduce-overhead", "default"]),
               default="reduce-overhead", show_default=True,
               help="Accepted for compatibility (no-op under XLA).")
+@click.option("--compile-effort", type=click.FloatRange(min=-1.0, max=1.0),
+              default=None,
+              help="XLA exec_time_optimization_effort override. Negative "
+              "values trade slower steps for a much faster cold compile "
+              "(v5e: -1.0 compiles ~5x faster at ~1.9x slower steps — a net "
+              "win for one-off jobs under ~90 frames on a cold cache; "
+              "PERF.md round-4). Default: XLA's standard effort.")
 @click.option("--interp-mode", type=click.Choice(["bilinear", "nearest"]), default="bilinear",
               show_default=True, help="Interpolation mode for resizing.")
 @click.option("--loss-funcs", type=CommaSeparated(str), default="l1,l2", show_default=True,
@@ -257,6 +264,7 @@ def run_predict(
     fast_guidance: bool = False,
     profile_dir: Path | None = None,
     multihost: bool = False,
+    compile_effort: float | None = None,
 ) -> None:
     import jax
 
@@ -388,7 +396,17 @@ def run_predict(
             f"Native-res mode: self-attention sequence sharded over "
             f"data={mesh.shape['data']} (ring attention)"
         )
-    pipe = DepthCompletionPipeline(bundle)
+    compiler_options = (
+        {"exec_time_optimization_effort": float(compile_effort)}
+        if compile_effort is not None
+        else None
+    )
+    if compiler_options:
+        logger.info(
+            f"XLA exec_time_optimization_effort={compile_effort} "
+            "(faster compile / slower steps; PERF.md round-4)"
+        )
+    pipe = DepthCompletionPipeline(bundle, compiler_options=compiler_options)
     scheduler = "lcm" if model == "lcm" else "ddim"
     logger.info(f"Devices: {jax.devices()}")
 

@@ -59,6 +59,35 @@ def test_predict_and_analyze(dataset, tmp_path, monkeypatch):
     assert "binned" in per_ds and len(per_ds["binned"]) == 12  # 120m / 10m
 
 
+def test_predict_compile_effort(dataset, tmp_path, monkeypatch):
+    """--compile-effort routes through DepthCompletionPipeline's
+    compiler_options (private jit wrappers) and still produces finite
+    dense outputs."""
+    monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
+    from depth_completion_tpu.cli.predict import main as predict_main
+    from depth_completion_tpu.io.codecs import load_array
+
+    out = tmp_path / "out_effort"
+    args = [
+        str(dataset), str(out),
+        "--model", "random",
+        "--steps", "2",
+        "--res", "64",
+        "--precision", "fp32",
+        "--compress", "npy",
+        "--vis", "false",
+        "--compile-effort", "-1.0",
+    ]
+    with pytest.raises(SystemExit) as e:
+        predict_main(args, standalone_mode=True)
+    assert e.value.code in (0, None)
+    denses = sorted((out / "scene" / "dense").glob("*.npy"))
+    assert len(denses) == 3
+    for f in denses:
+        a = load_array(f)
+        assert np.isfinite(a).all()
+
+
 def test_predict_temporal_mode(dataset, tmp_path, monkeypatch):
     monkeypatch.setenv("DCT_RANDOM_MODEL_SIZE", "tiny")
     from depth_completion_tpu.cli.predict import main as predict_main
