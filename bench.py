@@ -81,12 +81,67 @@ def _peak_tflops(device_kind: str) -> float | None:
 
 
 def _program_flops(compiled) -> float | None:
-    """Total FLOPs of a compiled program per XLA's cost analysis."""
+    """FLOPs of a compiled program per XLA's cost analysis.
+
+    Two accounting caveats that shape how callers use this number
+    (verified on both CPU and the TPU tunnel, round 4):
+    - a `lax.scan`/while body is counted ONCE, not x trip-count — so for
+      the sampler (one scan over DDIM steps) this is ~the per-STEP flops
+      (plus the prep/final decode, a few percent), NOT the whole run;
+    - custom-call kernels (Pallas flash attention) report ZERO flops —
+      their matmul work must be added back analytically
+      (_attention_fwd_flops) when the flash path is engaged.
+    """
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = float(ca.get("flops", 0.0))
         return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _attention_fwd_flops(bundle, images_d, cfg) -> float | None:
+    """Matmul FLOPs (2/MAC) of ONE UNet forward's attention score/value
+    contractions, counted exactly by abstract-tracing apply_unet with a
+    shape-recording attention_fn (no device work). QK is 2*N*S*Sk*C and PV
+    the same (heads partition C: heads*S*Sk*d = S*Sk*C). The projection
+    linears around attention are ordinary HLO dots and already counted by
+    XLA; only the Pallas-hidden score/value contractions are returned."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_completion_tpu.models.unet import apply_unet
+    from depth_completion_tpu.ops.resize import latent_size
+
+    try:
+        h, w = int(images_d.shape[1]), int(images_d.shape[2])
+        eh, ew = latent_size(
+            (h, w), cfg.resolution, bundle.vae.downsample_factor
+        )
+        n = int(images_d.shape[0])
+        counts: list[float] = []
+
+        def counting_attn(q, k, v, num_heads):
+            nq, s, c = q.shape
+            sk = k.shape[1]
+            counts.append(4.0 * nq * s * sk * c)  # QK + PV, 2 FLOPs/MAC
+            return q  # attention output has q's shape
+
+        x = jax.ShapeDtypeStruct((n, eh, ew, 8), bundle.text_context.dtype)
+        t = jax.ShapeDtypeStruct((), jnp.int32)
+        ctx = jax.ShapeDtypeStruct(
+            (n,) + tuple(bundle.text_context.shape[1:]),
+            bundle.text_context.dtype,
+        )
+        jax.eval_shape(
+            lambda x_, t_, c_: apply_unet(
+                bundle.unet_params, x_, t_, c_, bundle.unet_config,
+                attention_fn=counting_attn,
+            ),
+            x, t, ctx,
+        )
+        return sum(counts)
     except Exception:
         return None
 
@@ -123,6 +178,11 @@ def _sol_components(bundle, images_d, sparse_d, cfg, deadline_s: float | None = 
     from depth_completion_tpu.ops.flash_attention import flash_attention
     from depth_completion_tpu.pipeline.sampler import _prepare, latent_to_affine
 
+    comp: dict = {}
+
+    def over_budget() -> bool:
+        return deadline_s is not None and time.time() - _T0 > deadline_s
+
     try:
         # static geometry on the host (an eager _prepare would dispatch
         # hundreds of small ops one-by-one over the remote tunnel)
@@ -132,6 +192,10 @@ def _sol_components(bundle, images_d, sparse_d, cfg, deadline_s: float | None = 
         padding = (-new_h % 16, -new_w % 16)
         orig_res = (h, w)
 
+        if over_budget():
+            comp["skipped"] = "deadline before prep compile"
+            return comp
+
         @jax.jit
         def _prep(images, sparses):
             out = _prepare(
@@ -139,7 +203,10 @@ def _sol_components(bundle, images_d, sparse_d, cfg, deadline_s: float | None = 
             )
             return out[0], out[1]
 
+        # the prep program is its own cold compile on an uncached worker
+        # (measured 1320 s once, round 4) — it must respect the budget too
         img_latents, pred_latents = _prep(images_d, sparse_d)
+        comp["prep_s"] = round(time.time() - _T0, 1)
         n = img_latents.shape[0]
         ctx = jnp.broadcast_to(
             bundle.text_context, (n,) + bundle.text_context.shape[1:]
@@ -169,28 +236,36 @@ def _sol_components(bundle, images_d, sparse_d, cfg, deadline_s: float | None = 
             )
         )
         lat0 = pred_latents.astype(jnp.float32)
+
         # deadline-aware: each component is a fresh cold compile on an
         # uncached worker (minutes over a tunnel); skip what no longer
         # fits so the bench's one JSON line always lands. Essential
         # components (the SOL sum) first, the diagnostic fwd-only last.
-        comp: dict = {}
-
         def timed(name, fn):
-            if deadline_s is not None and time.time() - _T0 > deadline_s:
+            if over_budget():
                 comp[name] = None  # skipped: out of budget
                 return
-            comp[name] = round(_chained_ms_per_call(fn, lat0), 2)
+            try:
+                comp[name] = round(_chained_ms_per_call(fn, lat0), 2)
+            except Exception as exc:  # e.g. standalone-program OOM
+                comp[name] = f"error: {type(exc).__name__}"
 
         timed("unet_fwd_bwd_ms", unet_fwd_bwd)
         timed("decode_fwd_bwd_ms", decode_fwd_bwd)
         timed("unet_fwd_ms", unet_fwd)
-        if comp.get("unet_fwd_bwd_ms") and comp.get("decode_fwd_bwd_ms"):
+        if isinstance(comp.get("unet_fwd_bwd_ms"), float) and isinstance(
+            comp.get("decode_fwd_bwd_ms"), float
+        ):
             comp["sol_step_ms"] = round(
                 comp["unet_fwd_bwd_ms"] + comp["decode_fwd_bwd_ms"], 2
             )
         return comp
-    except Exception:
-        return None
+    except Exception as exc:
+        # never drop the whole dict silently: the JSON line should say WHY
+        # components are missing (this used to return None, hiding a
+        # prep-compile overrun behind an absent key)
+        comp["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        return comp
 
 
 def _phase(msg: str) -> None:
@@ -424,12 +499,26 @@ def main() -> None:
     peak = _peak_tflops(jax.devices()[0].device_kind)
     result["device_kind"] = jax.devices()[0].device_kind
     if program_flops is not None:
-        # whole program = `steps` guided steps (+ prep/final decode, <2%)
-        result["flops_per_step"] = round(program_flops / steps / 1e9, 1)  # GF
+        # XLA's cost analysis counts the sampling scan's body ONCE (verified
+        # round 4 on CPU and the tunnel), so program_flops ~= per-step flops
+        # (+ prep/final decode, a few %) — no division by steps. Pallas
+        # flash kernels report zero flops; add their score/value matmuls
+        # back analytically. Backward factor: the fused flash bwd recomputes
+        # the score matrix and emits dq/dk/dv — 5 matmuls vs the forward's
+        # 2, so fwd+bwd = 3.5x the forward's attention flops (fast-guidance
+        # skips the UNet backward entirely -> factor 1).
+        step_flops = program_flops
+        flash_on = jax.default_backend() == "tpu"
+        if flash_on:
+            attn_fwd = _attention_fwd_flops(bundle, images_d, cfg)
+            if attn_fwd is not None:
+                step_flops += attn_fwd * (1.0 if fast else 3.5)
+                result["attn_flops_per_step"] = round(attn_fwd / 1e9, 1)  # GF
+        result["flops_per_step"] = round(step_flops / 1e9, 1)  # GF
         if peak is not None and step_s > 0:
             result["peak_bf16_tflops"] = peak
             result["mfu_pct"] = round(
-                program_flops / steps / step_s / (peak * 1e12) * 100, 1
+                step_flops / step_s / (peak * 1e12) * 100, 1
             )
     if sol is not None:
         # measured speed-of-light budget: isolated UNet fwd+bwd + decode

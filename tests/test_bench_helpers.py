@@ -42,6 +42,40 @@ def test_program_flops_from_cost_analysis():
     assert 0.5 * 2 * 128**3 <= flops <= 4 * 2 * 128**3
 
 
+def test_attention_fwd_flops_hand_count():
+    """The eval_shape attention-flop recorder matches a hand count on a
+    single-stage UNet: transformers at down(1) + mid(1) + up(2), each one
+    self-attention (S x S) plus one cross-attention (S x S_ctx) at C=32."""
+    from depth_completion_tpu.models import registry
+    from depth_completion_tpu.models.bundle import make_random_bundle
+    from depth_completion_tpu.pipeline.sampler import SamplerConfig
+
+    cfg1 = registry.UNetConfig(
+        block_out_channels=(32,),
+        num_heads=(2,),
+        attention_stages=(True,),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        norm_groups=8,
+    )
+    bundle = make_random_bundle(seed=0, unet_config=cfg1, vae_kind="tiny")
+    import numpy as np
+
+    images = jnp.asarray(np.zeros((1, 64, 64, 3), np.float32))
+    cfg = SamplerConfig(steps=2, resolution=64, max_depth=120.0)
+    got = bench._attention_fwd_flops(bundle, images, cfg)
+    assert got is not None
+    from depth_completion_tpu.ops.resize import latent_size
+
+    eh, ew = latent_size((64, 64), 64, bundle.vae.downsample_factor)
+    s = eh * ew
+    s_ctx = int(bundle.text_context.shape[1])
+    # 4 transformers (down 1, mid 1, up 2), each one self (S x S) + one
+    # cross (S x S_ctx) score/value pair at C=32, 2 FLOPs/MAC
+    expected = 4 * (4.0 * 1 * s * s * 32 + 4.0 * 1 * s * s_ctx * 32)
+    assert got == expected, (got, expected)
+
+
 def test_sol_components_deadline_skips(monkeypatch):
     """With an already-expired deadline every component is skipped and no
     sol_step_ms is fabricated."""
