@@ -55,6 +55,13 @@ MAX_PROGRAMS = (
     if os.environ.get("SB_MAX_PROGRAMS")
     else None
 )
+# SB_TIERED=1: tiered warmup — traffic opens on fast-compiled tier-0
+# programs while full-effort programs promote in the background
+# (engine.warmup(tiered=True); PERF.md round-4). The JSON then reports
+# time-to-first-response right after warmup. SB_WARM_PARALLEL=N overlaps
+# distinct warmup program compiles.
+TIERED = os.environ.get("SB_TIERED", "0") == "1"
+WARM_PARALLEL = int(os.environ.get("SB_WARM_PARALLEL", "1"))
 
 
 def main() -> None:
@@ -97,10 +104,22 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    engine.warmup(GEOMETRIES)
+    engine.warmup(GEOMETRIES, parallel=WARM_PARALLEL, tiered=TIERED)
     warm_s = time.monotonic() - t0
 
     rng = np.random.default_rng(0)
+
+    # time-to-first-response: first request the engine serves after
+    # warmup returns (tier-0 program when SB_TIERED=1)
+    h0, w0 = GEOMETRIES[0]
+    img0 = rng.uniform(0, 255, size=(h0, w0, 3)).astype(np.float32)
+    sp0 = np.zeros((h0, w0, 1), np.float32)
+    sp0[h0 // 2, w0 // 2, 0] = 5.0
+    sp0[h0 // 4, w0 // 4, 0] = 50.0
+    t_first = time.monotonic()
+    first = engine.complete(img0, sp0, timeout=1200)
+    ttfr_s = time.monotonic() - t_first
+    assert np.isfinite(first).all()
     frames = []
     for i in range(CLIENTS):
         h, w = GEOMETRIES[i % len(GEOMETRIES)]
@@ -161,7 +180,11 @@ def main() -> None:
         "batches": stats["batches"],
         "batch_fill": round(stats["batched_rows"] / rows, 3) if rows else None,
         "warmup_s": round(warm_s, 1),
+        "ttfr_s": round(ttfr_s, 2),  # first response after warmup returned
     }
+    if TIERED:
+        out["tiered"] = True
+        out["warmup_parallel"] = WARM_PARALLEL
     if len(GEOMETRIES) > 1:
         out["per_geometry"] = {
             f"{h}x{w}": {
