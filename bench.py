@@ -25,8 +25,9 @@ host↔device sync overhead that the trace excludes).
 
 Env knobs: BENCH_STEPS (default 50), BENCH_BATCH (default 8 — the batch
 amortizes per-step fixed overhead and fits v5e HBM without remat;
-measured 0.4674 f/s/chip at batch 8 vs 0.4358 at batch 4 and 0.4174 at
-batch 1, see PERF.md round-3 batch/remat sweep),
+round-4 record 0.5079 f/s/chip at batch 8 / 0.4479 at batch 1 with the
+transposed fused backward now default, see PERF.md round-4; the
+round-3 batch/remat sweep is the batch-size story),
 BENCH_REPEATS (default 3), BENCH_RES (default 768), BENCH_FAST=1
 (fast-guidance mode: skip the UNet backward — NOT the parity config; the
 headline stays full-parity gradients), BENCH_TRACE=0 (skip the profiler

@@ -107,11 +107,14 @@ BWD_STREAMS = int(os.environ.get("DCT_BWD_STREAMS", "2"))
 
 # Transposed d-outputs in the fused backward: dk/dv/dq computed as [d, S]
 # (head_dim on sublanes, full 128-lane outputs) instead of [S, d] whose
-# 64-lane outputs run ~3.2x below the MXU's full-width rate (PERF.md
-# round-2 shape probes; scripts/exp_pallas_n64.py measures the kernel-level
+# 64-lane outputs run below the MXU's full-width rate (PERF.md round-2
+# shape probes; scripts/exp_pallas_n64.py measures the kernel-level
 # delta). Same math, swapped dot_general operand orders; one XLA swapaxes
-# per output per call. A/B via DCT_BWD_TRANSPOSED.
-BWD_TRANSPOSED = os.environ.get("DCT_BWD_TRANSPOSED", "0") == "1"
+# per output per call. DEFAULT ON since the round-4 full-program A/B:
+# 0.5079 vs 0.4675 f/s/chip at batch 8 (device step 314.42 vs 341.67 ms)
+# and 0.4479 vs 0.4174 at batch 1 — PERF.md round-4. DCT_BWD_TRANSPOSED=0
+# restores the [S, d] orientation.
+BWD_TRANSPOSED = os.environ.get("DCT_BWD_TRANSPOSED", "1") == "1"
 
 
 def _next_multiple(x: int, m: int) -> int:
@@ -409,8 +412,10 @@ def _bwd_fused_kernel_t(
     round-2 shape probes); the transposed orientation does the same MACs at
     full lane width with zero materialized transposes in VMEM (the operand
     swap is a dot_general dimension-numbers change). The [BH, d, S] outputs
-    are swapped back to [BH, S, d] by XLA once per call. Measured via
-    scripts/exp_pallas_n64.py; gated by DCT_BWD_TRANSPOSED.
+    are swapped back to [BH, S, d] by XLA once per call. Kernel-level
+    probes in scripts/exp_pallas_n64.py; full-program A/B made it the
+    DEFAULT in round 4 (-8% device step time at batch 8 and 1, PERF.md);
+    DCT_BWD_TRANSPOSED=0 restores the [S, d] orientation.
     """
     qi = pl.program_id(2)
     ki = pl.program_id(1)
