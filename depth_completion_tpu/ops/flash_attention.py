@@ -116,6 +116,16 @@ BWD_STREAMS = int(os.environ.get("DCT_BWD_STREAMS", "2"))
 # restores the [S, d] orientation.
 BWD_TRANSPOSED = os.environ.get("DCT_BWD_TRANSPOSED", "1") == "1"
 
+# Transposed FORWARD: scores computed [block_k, block_q] (q rows on lanes)
+# so the PV matmul emits o^T [d, block_q] — full-lane output like the
+# transposed backward — and the softmax row stats become lane vectors
+# ([1, rows]; the intra-vreg finish is 3 sublane rotations instead of 7
+# lane rotations). Same math; o/m̂ are converted back to the baseline
+# layouts ([BH, S, d] / lane-replicated [BH, S, LANES]) by XLA once per
+# call, so the backward and the ring path are untouched. A/B via
+# DCT_FWD_TRANSPOSED.
+FWD_TRANSPOSED = os.environ.get("DCT_FWD_TRANSPOSED", "0") == "1"
+
 
 def _next_multiple(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -214,8 +224,137 @@ def _fwd_kernel(
         )
 
 
+def _mask_tail_rows(s, ki, block_k, kv_len, mask_tail):
+    """Transposed-score variant of _mask_tail: KV runs along axis 0."""
+    if not mask_tail:
+        return s
+
+    def masked(x):
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + ki * block_k
+        return jnp.where(row < kv_len, x, MASK_VALUE)
+
+    if MASK_STRATEGY == "always":
+        return masked(s)
+    return jax.lax.cond((ki + 1) * block_k > kv_len, masked, lambda x: x, s)
+
+
+def _fwd_kernel_t(
+    q_ref, k_ref, v_ref, o_ref, mhat_ref,
+    m_scr, l_scr, acc_scr,
+    *, sm_scale: float, kv_len: int, block_k: int, num_kv_blocks: int,
+    mask_tail: bool, block_q: int, streams: int,
+):
+    """Transposed-score forward (see FWD_TRANSPOSED).
+
+    Scores are built [block_k, block_q] via k·qᵀ, so the PV contraction
+    emits o^T = vᵀ·p with shape [d, block_q] — head_dim lands on sublanes
+    and the long q axis fills all 128 output lanes (the same orientation
+    fix as _bwd_fused_kernel_t). Softmax row stats live as [1, rows] lane
+    vectors; the online update math is identical to _fwd_kernel.
+    """
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    k = k_ref[0]  # [block_k, d]
+    v = v_ref[0]  # [block_k, d]
+    for h in range(streams):
+        cols = slice(h * block_q, (h + 1) * block_q)
+        q = q_ref[0][cols]  # [block_q, d]
+        s = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_k, block_q] — q rows on LANES
+        s = s * (sm_scale * _LOG2E)
+        s = _mask_tail_rows(s, ki, block_k, kv_len, mask_tail)
+
+        m_prev = m_scr[:, cols]  # [1, block_q]
+        l_prev = l_scr[:, cols]
+        m_curr = jnp.max(s, axis=0, keepdims=True)  # [1, block_q]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = _exp(m_prev - m_next)  # [1, block_q]
+        p = _exp(s - m_next)  # [block_k, block_q]
+        l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+        m_scr[:, cols] = m_next
+        l_scr[:, cols] = l_next
+
+        o_curr = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d, block_q]
+        acc_scr[:, cols] = acc_scr[:, cols] * alpha + o_curr
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l_final = l_scr[...]  # [1, rows]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)  # [d, rows]
+        mhat_row = m_scr[...] + jnp.where(
+            l_final == 0.0, 0.0, _log(l_final)
+        )  # [1, rows]
+        mhat_ref[0] = jnp.broadcast_to(mhat_row, mhat_ref.shape[1:])
+
+
+def _fwd_t(q, k, v, sm_scale, block_q, block_k, kv_len):
+    """FWD_TRANSPOSED path: same contract as _fwd — (o [BH,Sq,D],
+    m̂ lane-replicated [BH,Sq,LANES]) — with the transposed kernel inside
+    and one XLA swapaxes per output to restore the baseline layouts."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    streams = FWD_STREAMS if sq % (FWD_STREAMS * block_q) == 0 else 1
+    rows = streams * block_q
+    grid = (bh, sq // rows, sk // block_k)
+    stat_sub = 8  # minimum f32 sublane tile for the m̂ output
+    kernel = functools.partial(
+        _fwd_kernel_t,
+        sm_scale=sm_scale,
+        kv_len=kv_len,
+        block_k=block_k,
+        num_kv_blocks=sk // block_k,
+        mask_tail=sk != kv_len,
+        block_q=block_q,
+        streams=streams,
+    )
+    o_t, mhat_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rows, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, rows), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, stat_sub, rows), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, sq), q.dtype),
+            jax.ShapeDtypeStruct((bh, stat_sub, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, rows), jnp.float32),
+            pltpu.VMEM((1, rows), jnp.float32),
+            pltpu.VMEM((d, rows), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v)
+    o = jnp.swapaxes(o_t, 1, 2)
+    mhat = jnp.broadcast_to(
+        jnp.swapaxes(mhat_t[:, :1], 1, 2), (bh, sq, _LANES)
+    )
+    return o, mhat
+
+
 def _fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
     """q [BH, Sq, D], k/v [BH, Sk, D] (padded) → (o, m̂=m+log2 l)."""
+    if FWD_TRANSPOSED:
+        return _fwd_t(q, k, v, sm_scale, block_q, block_k, kv_len)
     bh, sq, d = q.shape
     sk = k.shape[1]
     streams = FWD_STREAMS if sq % (FWD_STREAMS * block_q) == 0 else 1

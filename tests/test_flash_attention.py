@@ -227,6 +227,56 @@ def test_two_stream_backward_matches_single():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_transposed_forward_matches_baseline(monkeypatch):
+    """DCT_FWD_TRANSPOSED builds scores [block_k, block_q] and emits o^T
+    from the PV contraction; same math, so (o, m̂) must match the baseline
+    forward to f32 accumulation order, grads must survive unchanged (the
+    VJP residual layouts are converted back inside _fwd_t), and the output
+    must match XLA. Covers streams, ragged tails, d=64 and d=512."""
+    for streams, (s, c, heads) in (
+        (1, (256, 128, 2)),
+        (2, (512, 256, 4)),   # two q-row streams, d=64 heads
+        (1, (192, 128, 2)),   # ragged (tail mask)
+        (1, (256, 512, 1)),   # KL VAE geometry class: single head, d=512
+    ):
+        monkeypatch.setattr(fa, "FWD_STREAMS", streams)
+        q, k, v = _qkv(s=s, c=c, seed=7)
+        kwargs = dict(
+            block_q=128, block_k=128, bwd_block_q=128, bwd_block_k=128,
+            min_seq_len=1,
+        )
+
+        monkeypatch.setattr(fa, "FWD_TRANSPOSED", False)
+        o_base = fa.flash_attention(q, k, v, heads, **kwargs)
+        monkeypatch.setattr(fa, "FWD_TRANSPOSED", True)
+        o_t = fa.flash_attention(q, k, v, heads, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(o_t), np.asarray(o_base), rtol=2e-3, atol=2e-3,
+            err_msg=f"transposed fwd mismatch (streams={streams}, s={s}, c={c})",
+        )
+        o_ref = xla_attention(q, k, v, heads)
+        np.testing.assert_allclose(
+            np.asarray(o_t), np.asarray(o_ref), rtol=2e-3, atol=2e-3,
+            err_msg="transposed-fwd-vs-xla mismatch",
+        )
+
+        # m̂ feeds the backward: grads through the transposed forward must
+        # match the baseline path (both use the fused backward kernels)
+        def loss(q, k, v, heads=heads):
+            o = fa.flash_attention(q, k, v, heads, **kwargs)
+            return jnp.sum(jnp.sin(o))
+
+        g_t = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.setattr(fa, "FWD_TRANSPOSED", False)
+        g_base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_t, g_base, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"transposed-fwd grad d{name} mismatch "
+                        f"(streams={streams}, s={s}, c={c})",
+            )
+
+
 def test_transposed_backward_matches_baseline(monkeypatch):
     """DCT_BWD_TRANSPOSED computes dk/dv/dq with [d, S]-oriented output
     matmuls (full-lane MXU); same math, so grads must match the baseline
