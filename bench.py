@@ -28,7 +28,11 @@ amortizes per-step fixed overhead and fits v5e HBM without remat;
 round-4 record 0.5079 f/s/chip at batch 8 / 0.4479 at batch 1 with the
 transposed fused backward now default, see PERF.md round-4; the
 round-3 batch/remat sweep is the batch-size story),
-BENCH_REPEATS (default 3), BENCH_RES (default 768), BENCH_FAST=1
+BENCH_REPEATS (default 3), BENCH_RES (default 768),
+BENCH_RETRIES (default 3) / BENCH_RETRY_BACKOFF_S (default 20) — bounded
+retry of device-touching phases against transient tunnel errors (the
+BENCH_r04 capture was lost to ONE un-retried FailedPrecondition; on total
+failure the JSON line still prints, carrying an "error" field), BENCH_FAST=1
 (fast-guidance mode: skip the UNet backward — NOT the parity config; the
 headline stays full-parity gradients), BENCH_TRACE=0 (skip the profiler
 pass), BENCH_SOL=0 (skip the speed-of-light component measurement),
@@ -104,18 +108,31 @@ def _program_flops(compiled) -> float | None:
 
 def _attention_fwd_flops(bundle, images_d, cfg) -> float | None:
     """Matmul FLOPs (2/MAC) of ONE UNet forward's attention score/value
-    contractions, counted exactly by abstract-tracing apply_unet with a
-    shape-recording attention_fn (no device work). QK is 2*N*S*Sk*C and PV
-    the same (heads partition C: heads*S*Sk*d = S*Sk*C). The projection
-    linears around attention are ordinary HLO dots and already counted by
-    XLA; only the Pallas-hidden score/value contractions are returned."""
+    contractions that take the PALLAS path, counted exactly by
+    abstract-tracing apply_unet with a shape-recording attention_fn (no
+    device work). QK is 2*N*S*Sk*C and PV the same (heads partition C:
+    heads*S*Sk*d = S*Sk*C). The projection linears around attention are
+    ordinary HLO dots and already counted by XLA; and call sites where
+    flash_attention falls back to XLA attention (short sequences — the
+    2-token cross-attention context and low-res self-attention stages —
+    or non-tileable head dims) are ALSO already in XLA's cost analysis,
+    so counting them here would double-count (ADVICE r4). Only the
+    Pallas-hidden score/value contractions are returned; the fallback
+    predicate mirrors ops/flash_attention.py:877-881 exactly."""
+    import inspect
+
     import jax
     import jax.numpy as jnp
 
     from depth_completion_tpu.models.unet import apply_unet
+    from depth_completion_tpu.ops import flash_attention as fa_mod
     from depth_completion_tpu.ops.resize import latent_size
 
     try:
+        min_seq_len = (
+            inspect.signature(fa_mod.flash_attention)
+            .parameters["min_seq_len"].default
+        )
         h, w = int(images_d.shape[1]), int(images_d.shape[2])
         eh, ew = latent_size(
             (h, w), cfg.resolution, bundle.vae.downsample_factor
@@ -126,7 +143,14 @@ def _attention_fwd_flops(bundle, images_d, cfg) -> float | None:
         def counting_attn(q, k, v, num_heads):
             nq, s, c = q.shape
             sk = k.shape[1]
-            counts.append(4.0 * nq * s * sk * c)  # QK + PV, 2 FLOPs/MAC
+            d = c // num_heads if c % num_heads == 0 else 0
+            takes_pallas = (
+                sk >= min_seq_len
+                and c % num_heads == 0
+                and (d % 128 == 0 or d == 64)
+            )
+            if takes_pallas:
+                counts.append(4.0 * nq * s * sk * c)  # QK + PV, 2 FLOPs/MAC
             return q  # attention output has q's shape
 
         x = jax.ShapeDtypeStruct((n, eh, ew, 8), bundle.text_context.dtype)
@@ -278,6 +302,44 @@ def _phase(msg: str) -> None:
         print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr)
 
 
+def _retry(fn, *, attempts: int | None = None, backoff_s: float | None = None,
+           label: str = "run", on_retry=None):
+    """Bounded retry for transient backend failures (BENCH_r04 post-mortem:
+    the round-4 driver capture died on ONE transient tunnel
+    `FailedPrecondition` at the first run_sync with no retry; an identical
+    re-run on the same chip minutes later was clean — VERDICT r4 weak #1).
+    Linear backoff between attempts; ``on_retry`` runs before each retry
+    (callers re-``device_put`` inputs there, in case the failed dispatch
+    poisoned the buffers). Raises the last error after the final attempt —
+    the caller's job is to still emit the JSON artifact (see ``main``).
+    """
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_RETRIES", "3"))
+    if backoff_s is None:
+        backoff_s = float(os.environ.get("BENCH_RETRY_BACKOFF_S", "20"))
+    last: Exception | None = None
+    for i in range(max(attempts, 1)):
+        try:
+            return fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception as exc:
+            last = exc
+            _phase(
+                f"{label}: attempt {i + 1}/{attempts} failed: "
+                f"{type(exc).__name__}: {exc}"
+            )
+            if i + 1 < attempts:
+                time.sleep(backoff_s * (i + 1))
+                if on_retry is not None:
+                    try:
+                        on_retry()
+                    except Exception:
+                        pass  # a failed refresh must not mask the real error
+    assert last is not None
+    raise last
+
+
 _T0 = time.time()
 
 
@@ -350,7 +412,7 @@ def _trace_device_step_ms(fn, args, steps: int) -> float | None:
         return None
 
 
-def main() -> None:
+def _measure() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -410,38 +472,58 @@ def main() -> None:
     # a driver-run cold bench should stay bounded). 1/0 force on/off.
     sol_mode = os.environ.get("BENCH_SOL", "auto")
 
-    images_d = jax.device_put(jnp.asarray(images))
-    sparse_d = jax.device_put(jnp.asarray(sparse))
+    # inputs live in a refreshable holder: on a transient backend error the
+    # retry path re-device_puts them (a failed dispatch can leave buffers in
+    # an undefined state on the tunnel backend)
+    dev = {}
+
+    def put_inputs():
+        dev["images"] = jax.device_put(jnp.asarray(images))
+        dev["sparse"] = jax.device_put(jnp.asarray(sparse))
+
+    put_inputs()
 
     def run_sync():
         """Run and force completion. block_until_ready is a no-op on the
         remote-tunnel backend, so fetch a scalar to synchronize."""
-        denses, _ = fn(bundle, images_d, sparse_d, cfg)
+        denses, _ = fn(bundle, dev["images"], dev["sparse"], cfg)
         return float(jnp.sum(denses))
 
     cache_before = _cache_entries()
     _phase("first run (compile)")
     t0 = time.time()
-    checksum = run_sync()
+    checksum = _retry(run_sync, label="first run", on_retry=put_inputs)
     compile_and_first = time.time() - t0
     cache_state = "miss" if _cache_entries() - cache_before else "hit"
 
     _phase("cost analysis (lower+compile, cache-hit expected)")
-    program_flops = _program_flops(
-        fn.lower(bundle, images_d, sparse_d, cfg).compile()
-    )
+    try:
+        program_flops = _retry(
+            lambda: _program_flops(
+                fn.lower(bundle, dev["images"], dev["sparse"], cfg).compile()
+            ),
+            attempts=2, label="cost analysis",
+        )
+    except Exception:
+        program_flops = None  # MFU is a bonus metric; never kill the bench
     _phase("timed repeats")
 
     times = []
     for _ in range(repeats):
-        t0 = time.time()
-        checksum = run_sync()
-        times.append(time.time() - t0)
+        def timed_once():
+            t0 = time.time()
+            run_sync()
+            return time.time() - t0
+
+        # a retried repeat is timed from its own (clean) attempt only
+        times.append(
+            _retry(timed_once, label="timed repeat", on_retry=put_inputs)
+        )
     del checksum
 
     _phase("profiler trace")
     device_step_ms = (
-        _trace_device_step_ms(fn, (bundle, images_d, sparse_d, cfg), steps)
+        _trace_device_step_ms(fn, (bundle, dev["images"], dev["sparse"], cfg), steps)
         if do_trace
         else None
     )
@@ -451,7 +533,7 @@ def main() -> None:
     _phase("SOL components" if do_sol else "SOL skipped")
     sol = (
         _sol_components(
-            bundle, images_d, sparse_d, cfg,
+            bundle, dev["images"], dev["sparse"], cfg,
             deadline_s=float(os.environ.get("BENCH_SOL_BUDGET_S", "1500")),
         )
         if do_sol
@@ -509,9 +591,13 @@ def main() -> None:
         # 2, so fwd+bwd = 3.5x the forward's attention flops (fast-guidance
         # skips the UNet backward entirely -> factor 1).
         step_flops = program_flops
-        flash_on = jax.default_backend() == "tpu"
+        # mirror the sampler's own engagement condition
+        # (pipeline/sampler.py:348-353), not just the backend
+        flash_on = cfg.flash_attention == "on" or (
+            cfg.flash_attention == "auto" and jax.default_backend() == "tpu"
+        )
         if flash_on:
-            attn_fwd = _attention_fwd_flops(bundle, images_d, cfg)
+            attn_fwd = _attention_fwd_flops(bundle, dev["images"], cfg)
             if attn_fwd is not None:
                 step_flops += attn_fwd * (1.0 if fast else 3.5)
                 result["attn_flops_per_step"] = round(attn_fwd / 1e9, 1)  # GF
@@ -529,6 +615,33 @@ def main() -> None:
             result["sol_pct"] = round(
                 sol["sol_step_ms"] / (step_s * 1e3) * 100, 1
             )
+    return result
+
+
+def main() -> None:
+    """Print exactly ONE JSON line on stdout, no matter what.
+
+    If every retry inside ``_measure`` is exhausted (e.g. the TPU tunnel is
+    down for the whole window), the line carries ``value: 0`` and an
+    ``error`` field instead of being an opaque traceback — the scoreboard
+    artifact must never be lost to an infrastructure failure (VERDICT r4
+    weak #1 / next #1).
+    """
+    try:
+        result = _measure()
+    except KeyboardInterrupt:
+        raise
+    except BaseException as exc:  # incl. SystemExit from backend init
+        result = {
+            "metric": "frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "baseline_provisional": True,
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+            "retries": int(os.environ.get("BENCH_RETRIES", "3")),
+            "git_commit": _git_commit(),
+        }
     print(json.dumps(result))
 
 

@@ -43,16 +43,56 @@ def test_program_flops_from_cost_analysis():
 
 
 def test_attention_fwd_flops_hand_count():
-    """The eval_shape attention-flop recorder matches a hand count on a
-    single-stage UNet: transformers at down(1) + mid(1) + up(2), each one
-    self-attention (S x S) plus one cross-attention (S x S_ctx) at C=32."""
+    """The eval_shape attention-flop recorder matches a hand count AND only
+    counts call sites that would take the Pallas path (ADVICE r4: XLA's
+    cost analysis already covers the fallback sites — short sequences like
+    the cross-attention context, or non-tileable head dims — so counting
+    them here would double-count). Single-stage UNet, transformers at
+    down(1) + mid(1) + up(2): self-attention at S=1024 >= min_seq_len with
+    d=64 takes Pallas and is counted; cross-attention (S_ctx tokens << 768)
+    falls back and must NOT be counted."""
+    from depth_completion_tpu.models import registry
+    from depth_completion_tpu.models.bundle import make_random_bundle
+    from depth_completion_tpu.pipeline.sampler import SamplerConfig
+
+    cfg1 = registry.UNetConfig(
+        block_out_channels=(64,),
+        num_heads=(1,),  # d = 64 -> Pallas-tileable head dim
+        attention_stages=(True,),
+        layers_per_block=1,
+        cross_attention_dim=64,
+        norm_groups=8,
+    )
+    bundle = make_random_bundle(seed=0, unet_config=cfg1, vae_kind="tiny")
+    import numpy as np
+
+    # 256x256 input at res 256 -> 32x32 latent -> S = 1024 >= 768
+    images = jnp.asarray(np.zeros((1, 256, 256, 3), np.float32))
+    cfg = SamplerConfig(steps=2, resolution=256, max_depth=120.0)
+    got = bench._attention_fwd_flops(bundle, images, cfg)
+    assert got is not None
+    from depth_completion_tpu.ops.resize import latent_size
+
+    eh, ew = latent_size((256, 256), 256, bundle.vae.downsample_factor)
+    s = eh * ew
+    assert s >= 768
+    # 4 transformers (down 1, mid 1, up 2), each ONE self (S x S) score/value
+    # pair at C=64, 2 FLOPs/MAC; cross-attention excluded (falls back to XLA)
+    expected = 4 * (4.0 * 1 * s * s * 64)
+    assert got == expected, (got, expected)
+
+
+def test_attention_fwd_flops_all_fallback_counts_zero():
+    """A geometry where every attention site falls back to XLA (S < 768 and
+    d=16 non-tileable) must report zero Pallas-hidden flops — those dots are
+    already in XLA's cost analysis."""
     from depth_completion_tpu.models import registry
     from depth_completion_tpu.models.bundle import make_random_bundle
     from depth_completion_tpu.pipeline.sampler import SamplerConfig
 
     cfg1 = registry.UNetConfig(
         block_out_channels=(32,),
-        num_heads=(2,),
+        num_heads=(2,),  # d = 16: not 64, not %128 -> always XLA fallback
         attention_stages=(True,),
         layers_per_block=1,
         cross_attention_dim=32,
@@ -64,16 +104,76 @@ def test_attention_fwd_flops_hand_count():
     images = jnp.asarray(np.zeros((1, 64, 64, 3), np.float32))
     cfg = SamplerConfig(steps=2, resolution=64, max_depth=120.0)
     got = bench._attention_fwd_flops(bundle, images, cfg)
-    assert got is not None
-    from depth_completion_tpu.ops.resize import latent_size
+    assert got == 0.0, got
 
-    eh, ew = latent_size((64, 64), 64, bundle.vae.downsample_factor)
-    s = eh * ew
-    s_ctx = int(bundle.text_context.shape[1])
-    # 4 transformers (down 1, mid 1, up 2), each one self (S x S) + one
-    # cross (S x S_ctx) score/value pair at C=32, 2 FLOPs/MAC
-    expected = 4 * (4.0 * 1 * s * s * 32 + 4.0 * 1 * s * s_ctx * 32)
-    assert got == expected, (got, expected)
+
+def test_retry_fails_then_succeeds(monkeypatch):
+    """The BENCH_r04 scenario: the first run dies on a transient backend
+    error, the retry lands clean — the bench must survive (VERDICT r4 #1).
+    on_retry (the fresh device_put hook) runs before the retry attempt."""
+    monkeypatch.setenv("BENCH_RETRY_BACKOFF_S", "0")
+    calls = {"n": 0, "refresh": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return 42.0
+
+    out = bench._retry(
+        flaky, attempts=3, label="first run",
+        on_retry=lambda: calls.__setitem__("refresh", calls["refresh"] + 1),
+    )
+    assert out == 42.0
+    assert calls["n"] == 2
+    assert calls["refresh"] == 1
+
+
+def test_retry_exhausted_raises_last(monkeypatch):
+    monkeypatch.setenv("BENCH_RETRY_BACKOFF_S", "0")
+    calls = {"n": 0}
+
+    def dead():
+        calls["n"] += 1
+        raise ValueError(f"boom {calls['n']}")
+
+    with pytest.raises(ValueError, match="boom 3"):
+        bench._retry(dead, attempts=3)
+    assert calls["n"] == 3
+
+
+def test_retry_failed_on_retry_does_not_mask(monkeypatch):
+    """A broken refresh hook must not replace the real backend error."""
+    monkeypatch.setenv("BENCH_RETRY_BACKOFF_S", "0")
+
+    def dead():
+        raise RuntimeError("real error")
+
+    def broken_refresh():
+        raise OSError("refresh broke too")
+
+    with pytest.raises(RuntimeError, match="real error"):
+        bench._retry(dead, attempts=2, on_retry=broken_refresh)
+
+
+def test_main_emits_error_json_on_total_failure(monkeypatch, capsys):
+    """Even when every retry is exhausted, main prints ONE parseable JSON
+    line carrying the error — the scoreboard artifact is never an opaque
+    traceback (BENCH_r04 post-mortem)."""
+    import json
+
+    def dead_measure():
+        raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+
+    monkeypatch.setattr(bench, "_measure", dead_measure)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "frames_per_sec_per_chip"
+    assert rec["value"] == 0.0
+    assert "FAILED_PRECONDITION" in rec["error"]
+    assert rec["git_commit"]
 
 
 def test_sol_components_deadline_skips(monkeypatch):
