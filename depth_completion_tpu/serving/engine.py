@@ -65,6 +65,9 @@ class ServeRequest:
     _enqueued_at: float = 0.0
     _batch_size: int = 0
     _cancelled: bool = False
+    # one bounded retry per request: a transient backend error (tunnel
+    # hiccup) must not fail a whole micro-batch (VERDICT r4 #5b)
+    _retried: bool = False
 
     def wait(self, timeout: float | None = None) -> np.ndarray:
         if not self._done.wait(timeout):
@@ -159,6 +162,7 @@ class ServingEngine:
             "errors": 0,
             "rejected": 0,
             "cancelled": 0,
+            "retried_batches": 0,
             "batches": 0,
             "batched_rows": 0,
             "padded_rows": 0,
@@ -168,6 +172,14 @@ class ServingEngine:
         self._latencies: deque[float] = deque(maxlen=512)
         self._warm = False
         self._stop = False
+        # pause before the one bounded batch retry after a transient
+        # dispatch/materialize error (tests shrink it)
+        self.dispatch_retry_backoff_s = 0.5
+        # bounded re-tries of failed full-effort tier promotions
+        # (ADVICE r4: a transient compile failure must not pin a signature
+        # to tier-0 forever); tests shrink the backoff
+        self.promote_retries = 2
+        self.promote_backoff_s = 5.0
         # Tiered warmup state (see warmup(tiered=True)): while _tier0_pipe
         # is set, signatures not yet in _full_ready dispatch to the fast
         # low-effort-compiled programs; the background thread compiles the
@@ -320,6 +332,14 @@ class ServingEngine:
         the slower tier. Numerics: both tiers run the same math — XLA
         optimization level may reorder reductions, so results can differ
         in low-order bits between tiers (same class as any recompile).
+        Promotion inherits ``parallel`` (full-effort compiles overlap) and
+        retries failed signatures (``promote_retries``/``promote_backoff_s``
+        attributes). With ``max_programs`` smaller than the warmed
+        signature count, later promotions can LRU-evict earlier full
+        programs; dispatch detects the eviction and keeps serving the
+        still-warm tier-0 program instead of cold-compiling on the compute
+        thread — but prefer ``max_programs >= len(geometries) *
+        (len(batch_buckets) + 1)`` so every promoted program stays live.
         """
         if tiered:
             with self._tier_lock:
@@ -351,10 +371,17 @@ class ServingEngine:
             # shape-only for compilation — zeros are a valid prior latent,
             # and computing the shape up front keeps the job independent
             # so it can compile concurrently with the bucket programs
+            vae = getattr(getattr(self.pipe, "bundle", None), "vae", None)
             factor = getattr(
-                getattr(getattr(self.pipe, "bundle", None), "vae", None),
-                "downsample_factor",
+                vae, "downsample_factor",
                 8,  # the SD/TAESD constant; only test fakes lack a bundle
+            )
+            # latent channel count from the bundle, not a hard-coded 4: a
+            # VAE with a different latent width would otherwise warm a
+            # phantom carry signature and the real second session frame
+            # would cold-compile on the compute thread (ADVICE r4)
+            channels = getattr(
+                getattr(vae, "config", None), "latent_channels", 4
             )
             eh, ew = latent_size((h, w), resolution, factor)
             jobs.append(
@@ -362,7 +389,7 @@ class ServingEngine:
                     ((h, w), 1, True),
                     img[None],
                     sparse[None],
-                    np.zeros((1, eh, ew, 4), np.float32),
+                    np.zeros((1, eh, ew, channels), np.float32),
                 )
             )
 
@@ -391,34 +418,82 @@ class ServingEngine:
                 self._tier0_ready = {j[0] for j in jobs}
             threading.Thread(
                 target=self._promote_full_programs,
-                args=(jobs,),
+                args=(jobs, parallel),
                 name="dct-serving-tier-promote",
                 daemon=True,
             ).start()
         self._warm = True
 
-    def _promote_full_programs(self, jobs: list[tuple]) -> None:
-        """Background full-effort compiles: one signature at a time (each
-        runs once on the device — seconds — while its compile dominates),
-        flipping dispatch per signature as it lands; tier-0 executables are
-        dropped when every signature is promoted."""
-        for job in jobs:
-            if self._stop:
-                return
-            key = job[0]
-            try:
-                kwargs = dict(self.call_kwargs)
-                if job[3] is not None:
-                    kwargs["pred_latents_prev"] = job[3]
-                self.pipe(job[1], job[2], **kwargs)
-            except Exception:
-                # tier-0 keeps serving this signature; next round retries
-                continue
-            with self._tier_lock:
-                self._full_ready.add(key)
+    def _promote_full_programs(
+        self,
+        jobs: list[tuple],
+        parallel: int | None = None,
+        retries: int | None = None,
+        backoff_s: float | None = None,
+    ) -> None:
+        """Background full-effort compiles, flipping dispatch per signature
+        as each lands; tier-0 executables are dropped once every signature
+        is promoted.
+
+        ``parallel`` (inherited from warmup): distinct signatures compile
+        concurrently — XLA compilation releases the GIL, so with N workers
+        the promotion wall-clock approaches the slowest single compile
+        instead of the sum, shrinking the window where traffic pays the
+        ~1.9× tier-0 step cost (VERDICT r4 #5a). Each program's single
+        post-compile execution still serializes on the device (seconds,
+        noise next to the compiles).
+
+        Failed signatures are retried ``retries`` times with linear backoff
+        (a transient tunnel error must not pin a signature to tier-0 for
+        the process lifetime — ADVICE r4); signatures still unpromoted
+        after the last pass are logged and keep serving from tier-0, and
+        the tier-0 pipe is retained for exactly that purpose.
+        """
+        if retries is None:
+            retries = self.promote_retries
+        if backoff_s is None:
+            backoff_s = self.promote_backoff_s
+        pending = list(jobs)
+        for attempt in range(retries + 1):
+            failed: list[tuple] = []
+
+            def promote(job: tuple) -> None:
+                if self._stop:
+                    return
+                try:
+                    kwargs = dict(self.call_kwargs)
+                    if job[3] is not None:
+                        kwargs["pred_latents_prev"] = job[3]
+                    self.pipe(job[1], job[2], **kwargs)
+                except Exception:
+                    failed.append(job)  # list.append is thread-safe
+                    return
+                with self._tier_lock:
+                    self._full_ready.add(job[0])
+
+            if parallel is not None and parallel > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=parallel) as ex:
+                    list(ex.map(promote, pending))
+            else:
+                for job in pending:
+                    promote(job)
+            pending = failed
+            if not pending or self._stop:
+                break
+            time.sleep(backoff_s * (attempt + 1))
         with self._tier_lock:
             if self._full_ready >= self._tier0_ready:
                 self._tier0_pipe = None  # frees tier-0 executables
+            elif pending:
+                from depth_completion_tpu.logger import logger
+
+                logger.warning(
+                    "tiered warmup: %d signature(s) failed full-effort "
+                    "promotion after %d attempt(s) and stay on tier-0: %s"
+                    % (len(pending), retries + 1, [j[0] for j in pending])
+                )
 
     @property
     def warm(self) -> bool:
@@ -541,11 +616,30 @@ class ServingEngine:
             batch = self._collect_batch(first)
             try:
                 self._run_batch(batch)
-            except Exception as exc:  # surface to every waiter
-                with self._lock:
-                    self._stats["errors"] += len(batch)
-                for r in batch:
-                    self._resolve(r, exc)
+            except Exception as exc:
+                # one bounded retry of the whole batch: a transient backend
+                # error (e.g. a tunnel FailedPrecondition) must not fail a
+                # micro-batch of ~seconds-each requests (VERDICT r4 #5b).
+                # Deterministic errors simply fail again — one extra
+                # attempt of bounded cost.
+                if not any(r._retried for r in batch):
+                    for r in batch:
+                        r._retried = True
+                    with self._lock:
+                        self._stats["retried_batches"] += 1
+                    time.sleep(self.dispatch_retry_backoff_s)
+                    try:
+                        self._run_batch(batch)
+                    except Exception as exc2:
+                        with self._lock:
+                            self._stats["errors"] += len(batch)
+                        for r in batch:
+                            self._resolve(r, exc2)
+                else:  # surface to every waiter
+                    with self._lock:
+                        self._stats["errors"] += len(batch)
+                    for r in batch:
+                        self._resolve(r, exc)
             self._sweep_sessions()
         # fail any requests still queued at shutdown instead of letting
         # their waiters hang until timeout
@@ -592,6 +686,7 @@ class ServingEngine:
 
         kwargs = dict(self.call_kwargs)
         session = batch[0].session
+        prev_held = None
         if session is not None:
             now = time.monotonic()
             with self._lock:
@@ -599,6 +694,7 @@ class ServingEngine:
                 if held is not None and now - held[1] > self.session_ttl_s:
                     held = None
                     self._sessions.pop(session, None)
+            prev_held = held  # restored if this dispatch fails (retry path)
             if held is not None:
                 kwargs["pred_latents_prev"] = held[0]
 
@@ -612,6 +708,27 @@ class ServingEngine:
                 and key in self._tier0_ready
                 and key not in self._full_ready
             )
+            if (
+                not use_tier0
+                and self._tier0_pipe is not None
+                and key in self._tier0_ready
+                and getattr(self.pipe, "max_programs", None) is not None
+            ):
+                # the promoted full program may have been LRU-evicted by
+                # later promotions (max_programs < warmed signatures);
+                # dispatching to the full pipe would then cold-compile at
+                # full effort ON the compute thread — prefer the still-warm
+                # tier-0 program instead (ADVICE r4)
+                carry = key[2]
+                want = (n + pad,) + geo + (3,)
+                alive = any(
+                    pk[0] == "sample"
+                    and tuple(pk[1]) == want
+                    and (pk[3] is not None) == carry
+                    for pk in self.pipe.program_keys()
+                )
+                if not alive:
+                    use_tier0 = True
             pipe = self._tier0_pipe if use_tier0 else self.pipe
 
         denses, latents = pipe(images, sparses, **kwargs)
@@ -623,7 +740,20 @@ class ServingEngine:
             with self._lock:
                 self._sessions[session] = (latents, time.monotonic())
 
-        self._finish.put((batch, n, pad, geo, denses))
+        self._finish.put((batch, n, pad, geo, denses, session, prev_held))
+
+    def _requeue_batch(self, batch: list[ServeRequest], geo: tuple) -> None:
+        """Put a failed batch back at the FRONT of its geometry queue (order
+        preserved) so the compute thread redispatches it — the finisher must
+        never dispatch device work itself (single-dispatch-thread
+        invariant)."""
+        with self._cv:
+            q = self._queues.get(geo)
+            if q is None:
+                q = self._queues[geo] = deque()
+                self._rr.append(geo)
+            q.extendleft(reversed(batch))
+            self._cv.notify()
 
     def _finisher_loop(self) -> None:
         """Materialize dispatched batches and resolve their waiters, off
@@ -632,10 +762,28 @@ class ServingEngine:
             item = self._finish.get()
             if item is None:
                 break
-            batch, n, pad, geo, denses = item
+            batch, n, pad, geo, denses, session, prev_held = item
             try:
                 denses = np.asarray(denses)[:n]
             except Exception as exc:  # async device failure surfaces here
+                # a transient backend error (tunnel hiccup) shows up at
+                # materialization on async backends; restore the session
+                # carry the failed dispatch overwrote, then hand the batch
+                # back to the compute thread for ONE bounded retry
+                if session is not None:
+                    with self._lock:
+                        if prev_held is not None:
+                            self._sessions[session] = prev_held
+                        else:
+                            self._sessions.pop(session, None)
+                if not any(r._retried for r in batch) and not self._stop:
+                    for r in batch:
+                        r._retried = True
+                    with self._lock:
+                        self._stats["retried_batches"] += 1
+                    time.sleep(self.dispatch_retry_backoff_s)
+                    self._requeue_batch(batch, geo)
+                    continue
                 with self._lock:
                     self._stats["errors"] += len(batch)
                 for r in batch:

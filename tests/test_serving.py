@@ -822,3 +822,344 @@ def test_engine_session_keeps_fifo_slot():
     finally:
         release.set()
         eng.shutdown()
+
+
+# ---------------------------------------------------------------- round 5:
+# transient-error resilience (VERDICT r4 #5b) and promotion hardening
+# (VERDICT r4 #5a + ADVICE r4)
+
+
+def test_engine_batch_retry_on_transient_dispatch_error():
+    """A pipeline call that fails once with a backend error and then works
+    (the tunnel-hiccup scenario) completes the batch on the bounded retry
+    instead of failing every waiter."""
+    calls = []
+
+    class _FlakyPipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(images.shape[0])
+            if len(calls) == 1:
+                raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_FlakyPipe(), dict(max_depth=120.0), max_batch=2)
+    eng.dispatch_retry_backoff_s = 0.0
+    try:
+        img, sp = _frame(0)
+        out = eng.complete(img, sp, timeout=30)
+        assert out.shape == (H, W, 1)
+        assert calls == [1, 1]
+        st = eng.stats()
+        assert st["retried_batches"] == 1
+        assert st["errors"] == 0
+    finally:
+        eng.shutdown()
+
+
+def test_engine_batch_retry_on_materialize_error():
+    """On async backends a transient device error surfaces at result
+    materialization (the finisher's np.asarray), not at dispatch: the
+    batch is requeued to the compute thread once and completes."""
+
+    class _Poisoned:
+        """Array-like whose materialization raises (async device failure)."""
+
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+
+    calls = []
+
+    class _FlakyPipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(images.shape[0])
+            if len(calls) == 1:
+                n, h, w = images.shape[:3]
+                return _Poisoned(), np.zeros((n, 4, 4, 4), np.float32)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_FlakyPipe(), dict(max_depth=120.0), max_batch=2)
+    eng.dispatch_retry_backoff_s = 0.0
+    try:
+        img, sp = _frame(0)
+        out = eng.complete(img, sp, timeout=30)
+        assert out.shape == (H, W, 1)
+        assert calls == [1, 1]
+        assert eng.stats()["retried_batches"] == 1
+        assert eng.stats()["errors"] == 0
+    finally:
+        eng.shutdown()
+
+
+def test_engine_deterministic_error_fails_after_one_retry():
+    """A persistent error still fails the batch — exactly one retry, no
+    infinite loop, error surfaced to the waiter."""
+    calls = []
+
+    class _DeadPipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(1)
+            raise RuntimeError("shape mismatch: deterministic bug")
+
+    eng = ServingEngine(_DeadPipe(), dict(max_depth=120.0), max_batch=1)
+    eng.dispatch_retry_backoff_s = 0.0
+    try:
+        img, sp = _frame(0)
+        with pytest.raises(RuntimeError, match="deterministic bug"):
+            eng.complete(img, sp, timeout=30)
+        assert len(calls) == 2  # original + one bounded retry
+        assert eng.stats()["errors"] == 1
+        assert eng.stats()["retried_batches"] == 1
+    finally:
+        eng.shutdown()
+
+
+def test_engine_materialize_retry_restores_session_carry():
+    """A failed session dispatch must not leave the poisoned latents as the
+    session's carry: the retry restores the previous carry state so the
+    redispatch (and any later frame) chains off a valid latent."""
+    seen_carries = []
+
+    class _Poisoned:
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("transient")
+
+    calls = []
+
+    class _FlakyPipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(1)
+            seen_carries.append(k.get("pred_latents_prev"))
+            if len(calls) == 2:  # fail the SECOND session frame once
+                n = images.shape[0]
+                return _Poisoned(), np.full((n, 4, 4, 4), 99.0, np.float32)
+            n = images.shape[0]
+            return (
+                np.zeros((n, H, W, 1), np.float32),
+                np.full((n, 4, 4, 4), float(len(calls)), np.float32),
+            )
+
+    eng = ServingEngine(_FlakyPipe(), dict(max_depth=120.0), max_batch=1)
+    eng.dispatch_retry_backoff_s = 0.0
+    try:
+        img, sp = _frame(0)
+        eng.complete(img, sp, session="v", timeout=30)  # call 1: carry=None
+        eng.complete(img, sp, session="v", timeout=30)  # call 2 fails -> retry
+        assert len(calls) == 3
+        assert seen_carries[0] is None
+        # both the failed attempt and its retry must chain off call 1's
+        # latents (value 1.0), NOT the poisoned 99.0 result
+        assert float(np.asarray(seen_carries[1])[0, 0, 0, 0]) == 1.0
+        assert float(np.asarray(seen_carries[2])[0, 0, 0, 0]) == 1.0
+    finally:
+        eng.shutdown()
+
+
+def test_tier_promotion_retries_failed_signature():
+    """A signature whose full-effort compile fails transiently is retried
+    (bounded) instead of being pinned to tier-0 for the process lifetime;
+    once every signature promotes, tier-0 drops."""
+    import time as _time
+
+    full_calls: list[int] = []
+    fail_once = {"done": False}
+
+    class _FullPipe:
+        def __call__(self, images, sparses, **k):
+            full_calls.append(images.shape[0])
+            if not fail_once["done"]:
+                fail_once["done"] = True
+                raise RuntimeError("transient compile-service error")
+            return _fake_pipe_result(images)
+
+    class _Tier0Pipe:
+        def __call__(self, images, sparses, **k):
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_FullPipe(), dict(max_depth=120.0), max_batch=2)
+    eng._make_tier0_pipe = lambda effort: _Tier0Pipe()
+    eng.promote_backoff_s = 0.01
+    try:
+        eng.warmup([(H, W)], tiered=True)
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            with eng._tier_lock:
+                if eng._tier0_pipe is None:
+                    break
+            _time.sleep(0.05)
+        with eng._tier_lock:
+            assert eng._tier0_pipe is None, "failed signature never promoted"
+            assert len(eng._full_ready) == 3
+    finally:
+        eng.shutdown()
+
+
+def test_tier_promotion_parallel_overlaps():
+    """warmup(tiered=True, parallel=N) promotes full-effort programs
+    concurrently (VERDICT r4 #5a): distinct signatures overlap instead of
+    compiling one at a time."""
+    import time as _time
+
+    inflight = [0]
+    peak = [0]
+    lock = threading.Lock()
+
+    class _FullPipe:
+        def __call__(self, images, sparses, **k):
+            with lock:
+                inflight[0] += 1
+                peak[0] = max(peak[0], inflight[0])
+            _time.sleep(0.2)
+            with lock:
+                inflight[0] -= 1
+            return _fake_pipe_result(images)
+
+    class _Tier0Pipe:
+        def __call__(self, images, sparses, **k):
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_FullPipe(), dict(max_depth=120.0), max_batch=4)
+    eng._make_tier0_pipe = lambda effort: _Tier0Pipe()
+    try:
+        eng.warmup([(H, W), (W, H)], parallel=3, tiered=True)
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            with eng._tier_lock:
+                if eng._tier0_pipe is None:
+                    break
+            _time.sleep(0.05)
+        with eng._tier_lock:
+            assert eng._tier0_pipe is None
+        assert peak[0] > 1, "full-effort promotions never overlapped"
+    finally:
+        eng.shutdown()
+
+
+def test_tier_promotion_exhausted_keeps_tier0():
+    """A signature that NEVER promotes keeps serving from tier-0 (logged),
+    and the tier-0 pipe is retained for it instead of being dropped."""
+    import time as _time
+
+    class _FullPipe:
+        def __call__(self, images, sparses, **k):
+            if images.shape[0] == 2:  # the bucket-2 signature never compiles
+                raise RuntimeError("persistent compile failure")
+            return _fake_pipe_result(images)
+
+    tier0_calls: list[int] = []
+
+    class _Tier0Pipe:
+        def __call__(self, images, sparses, **k):
+            tier0_calls.append(images.shape[0])
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_FullPipe(), dict(max_depth=120.0), max_batch=2)
+    eng._make_tier0_pipe = lambda effort: _Tier0Pipe()
+    eng.promote_retries = 1
+    eng.promote_backoff_s = 0.01
+    try:
+        eng.warmup([(H, W)], tiered=True)
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            with eng._tier_lock:
+                if len(eng._full_ready) == 2:
+                    break
+            _time.sleep(0.05)
+        _time.sleep(0.2)  # let the promotion thread finish its last pass
+        with eng._tier_lock:
+            assert eng._tier0_pipe is not None  # kept for the failed signature
+            assert ((H, W), 2, False) not in eng._full_ready
+        # a 2-row batch still serves — from tier-0
+        img, sp = _frame(0)
+        n0 = len(tier0_calls)
+        reqs = [
+            eng.submit(ServeRequest(image=img, sparse=sp)) for _ in range(2)
+        ]
+        for r in reqs:
+            r.wait(30)
+        assert len(tier0_calls) > n0
+    finally:
+        eng.shutdown()
+
+
+def test_tiered_dispatch_detects_full_program_eviction():
+    """With max_programs < warmed signatures, a promoted full program can
+    be LRU-evicted while its key stays in _full_ready; dispatch must fall
+    back to the still-warm tier-0 program instead of cold-compiling at
+    full effort on the compute thread (ADVICE r4)."""
+    full_calls: list[int] = []
+    tier0_calls: list[int] = []
+
+    class _FullPipe:
+        max_programs = 1
+
+        def __call__(self, images, sparses, **k):
+            full_calls.append(images.shape[0])
+            return _fake_pipe_result(images)
+
+        def program_keys(self):
+            # pretend only the bucket-2 program survived the LRU
+            return [("sample", (2, H, W, 3), None, None)]
+
+    class _Tier0Pipe:
+        def __call__(self, images, sparses, **k):
+            tier0_calls.append(images.shape[0])
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_FullPipe(), dict(max_depth=120.0), max_batch=2)
+    eng._make_tier0_pipe = lambda effort: _Tier0Pipe()
+    try:
+        img, sp = _frame(0)
+        with eng._tier_lock:
+            eng._tier0_pipe = _Tier0Pipe()
+            eng._tier0_ready = {((H, W), 1, False), ((H, W), 2, False)}
+            eng._full_ready = set(eng._tier0_ready)  # both "promoted"
+        tier0 = eng._tier0_pipe
+        # bucket-1 full program was evicted -> tier-0 serves it
+        eng.complete(img, sp, timeout=30)
+        assert len(tier0._calls if hasattr(tier0, "_calls") else tier0_calls) >= 1
+        assert full_calls == []
+        # bucket-2 program is alive -> full pipe serves it
+        reqs = [
+            eng.submit(ServeRequest(image=img, sparse=sp)) for _ in range(2)
+        ]
+        for r in reqs:
+            r.wait(30)
+        assert 2 in full_calls
+    finally:
+        eng.shutdown()
+
+
+def test_warmup_carry_channels_follow_bundle():
+    """The warmed carry signature derives its latent channel count from the
+    bundle's VAE instead of hard-coding 4 (ADVICE r4): a 16-channel VAE
+    must warm a 16-channel carry program."""
+
+    class _Cfg:
+        latent_channels = 16
+
+    class _Vae:
+        config = _Cfg()
+        downsample_factor = 8
+
+    class _Bundle:
+        vae = _Vae()
+
+    carry_shapes: list[tuple] = []
+
+    class _Pipe:
+        bundle = _Bundle()
+
+        def __call__(self, images, sparses, **k):
+            if "pred_latents_prev" in k:
+                carry_shapes.append(np.asarray(k["pred_latents_prev"]).shape)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0, resolution=64), max_batch=2
+    )
+    try:
+        eng.warmup([(H, W)])
+        assert len(carry_shapes) == 1
+        assert carry_shapes[0][-1] == 16, carry_shapes
+    finally:
+        eng.shutdown()
