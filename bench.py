@@ -40,10 +40,15 @@ BENCH_PEAK_TFLOPS (peak bf16 override for unlisted chips).
 
 Hardware-grounded metrics (VERDICT r3 #2 — the 0.33 f/s reference figure is
 an assumption, so perf is also judged against the chip itself):
-``mfu_pct`` (XLA cost-analysis FLOPs / device step time / peak bf16),
-``sol_components_ms`` (isolated UNet fwd, UNet fwd+bwd, decode fwd+bwd
-programs measured at the bench geometry) and ``sol_pct`` (their sum — the
-irreducible parity-step work — over the achieved device step time).
+``mfu_pct`` (XLA cost-analysis FLOPs / device step time / peak bf16);
+``sol_pct`` + ``sol_roofline_ms``/``sol_breakdown_ms`` (per-op roofline
+floor computed from the profiler trace of the REAL program — each device
+event's max(flops/peak, bytes/HBM-BW), flash-attention events floored by
+their exact analytic matmul flops; see _trace_metrics. Trace-based so it
+lands every round: the standalone-program variant below was lost twice to
+pathological tunnel compiles); ``sol_components_ms`` +
+``sol_composition_pct`` (BENCH_SOL=1 only: isolated UNet fwd/fwd+bwd and
+decode fwd+bwd programs at the bench geometry — the composition floor).
 """
 
 from __future__ import annotations
@@ -73,6 +78,17 @@ _PEAK_BF16_TFLOPS = (
     ("v2", 46.0),
 )
 
+# Peak HBM bandwidth per chip (public TPU specs), GB/s — the bandwidth leg
+# of the per-op roofline SOL. Override with BENCH_PEAK_HBM_GBPS.
+_PEAK_HBM_GBPS = (
+    ("v6 lite", 1640.0), ("v6e", 1640.0),
+    ("v5p", 2765.0),
+    ("v5 lite", 819.0), ("v5e", 819.0),
+    ("v4", 1228.0),
+    ("v3", 900.0),
+    ("v2", 700.0),
+)
+
 
 def _peak_tflops(device_kind: str) -> float | None:
     env = os.environ.get("BENCH_PEAK_TFLOPS")
@@ -80,6 +96,17 @@ def _peak_tflops(device_kind: str) -> float | None:
         return float(env)
     kind = device_kind.lower()
     for sub, peak in _PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _peak_hbm_gbps(device_kind: str) -> float | None:
+    env = os.environ.get("BENCH_PEAK_HBM_GBPS")
+    if env:
+        return float(env)
+    kind = device_kind.lower()
+    for sub, peak in _PEAK_HBM_GBPS:
         if sub in kind:
             return peak
     return None
@@ -362,9 +389,34 @@ def _cache_entries() -> set[str]:
         return set()
 
 
-def _trace_device_step_ms(fn, args, steps: int) -> float | None:
-    """One traced run; returns summed device-event time / steps (ms), or None
-    if the trace tooling is unavailable (e.g. no tensorboard profile plugin).
+def _trace_metrics(
+    fn,
+    args,
+    steps: int,
+    peak_tflops: float | None = None,
+    hbm_gbps: float | None = None,
+    attn_fwd_flops_step: float | None = None,
+    attn_bwd_factor: float = 3.5,
+) -> dict | None:
+    """One traced run → device-time and roofline-SOL metrics, or None if the
+    trace tooling is unavailable (e.g. no tensorboard profile plugin).
+
+    ``device_step_ms``: the single longest device event is the jitted module
+    execution — its span IS the device time for the whole traced frame
+    (events nest module → fusion → sub-op, so summing overcounts).
+
+    ``sol_pct`` (VERDICT r4 #2): per-op roofline floor over the achieved
+    module span, computed FROM THE TRACE OF THE REAL PROGRAM — no standalone
+    component programs, whose cold compiles died on the degraded tunnel
+    twice (rounds 3-4). Every synchronous device event carries XLA's
+    ``model_flops`` and ``raw_bytes_accessed``; its floor is
+    max(flops/peak_flops, bytes/peak_bw). Pallas custom-calls report zero
+    for both, so flash-attention events (source = ops/flash_attention.py)
+    are floored analytically (the exact score/value matmul flops, bwd
+    = ``attn_bwd_factor`` x fwd) and other opaque kernels (fused conv3x3)
+    at their measured time — conservative in the kernels' favor. Async
+    copy bookkeeping (async-start/done, copy-start/done) is excluded: its
+    bytes ride concurrently and are already charged to consuming fusions.
     """
     import gzip
 
@@ -389,27 +441,92 @@ def _trace_device_step_ms(fn, args, steps: int) -> float | None:
                 return None
             data, _ = rtd.xspace_to_tool_data(xplanes[-1:], "trace_viewer", {})
             events = json.loads(data)["traceEvents"]
-        pid_names = {}
-        for ev in events:
-            if ev.get("ph") == "M" and ev.get("name") == "process_name":
-                pid_names[ev["pid"]] = ev["args"].get("name", "")
-        # Trace events nest (module → fusion → sub-ops) across several
-        # device tracks, so summing durations overcounts several-fold. The
-        # single longest device event is the jitted module execution — its
-        # span IS the device time for the whole traced frame.
-        longest_us = 0.0
-        for ev in events:
-            if ev.get("ph") != "X":
-                continue
-            pname = pid_names.get(ev.get("pid"), "")
-            if "TPU" not in pname and "Chip" not in pname:
-                continue
-            longest_us = max(longest_us, ev.get("dur", 0))
-        if longest_us <= 0:
-            return None
-        return longest_us / 1e3 / steps
+        return _analyze_trace_events(
+            events, steps, peak_tflops, hbm_gbps,
+            attn_fwd_flops_step, attn_bwd_factor,
+        )
     except Exception:
         return None
+
+
+def _analyze_trace_events(
+    events: list,
+    steps: int,
+    peak_tflops: float | None,
+    hbm_gbps: float | None,
+    attn_fwd_flops_step: float | None,
+    attn_bwd_factor: float,
+) -> dict | None:
+    """Pure analysis half of ``_trace_metrics`` (unit-testable offline)."""
+    pid_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+
+    def on_device(ev) -> bool:
+        pname = pid_names.get(ev.get("pid"), "")
+        return "TPU" in pname or "Chip" in pname
+
+    longest_us = 0.0
+    for ev in events:
+        if ev.get("ph") == "X" and on_device(ev):
+            longest_us = max(longest_us, ev.get("dur", 0))
+    if longest_us <= 0:
+        return None
+    out: dict = {"device_step_ms": longest_us / 1e3 / steps}
+    if peak_tflops is None or hbm_gbps is None:
+        return out
+
+    ASYNC = {"async-start", "async-done", "copy-start", "copy-done"}
+    floor_s = 0.0
+    attn_meas_s = 0.0
+    opaque_s = 0.0
+    cat_s: dict[str, float] = {}
+    for ev in events:
+        if ev.get("ph") != "X" or not on_device(ev):
+            continue
+        a = ev.get("args", {})
+        cat = a.get("hlo_category")
+        # category-less events are containers (the module span, queue
+        # rows); "while" is the sampling scan's container event
+        if cat is None or cat == "while":
+            continue
+        dur_s = int(a.get("device_duration_ps", ev.get("dur", 0) * 1e6)) / 1e12
+        cat_s[cat] = cat_s.get(cat, 0.0) + dur_s
+        if cat in ASYNC:
+            continue
+        flops = float(a.get("model_flops", 0))
+        nbytes = float(a.get("raw_bytes_accessed", 0))
+        if flops == 0 and nbytes == 0:
+            if (
+                attn_fwd_flops_step is not None
+                and "flash_attention" in a.get("source", "")
+            ):
+                attn_meas_s += dur_s  # floored analytically below
+            else:
+                floor_s += dur_s  # opaque kernel: measured = floor
+                opaque_s += dur_s
+            continue
+        floor_s += max(flops / (peak_tflops * 1e12), nbytes / (hbm_gbps * 1e9))
+    if attn_fwd_flops_step is not None:
+        floor_s += (
+            attn_fwd_flops_step * attn_bwd_factor * steps
+            / (peak_tflops * 1e12)
+        )
+    if floor_s <= 0:
+        return out
+    out["sol_roofline_ms"] = round(floor_s * 1e3 / steps, 2)
+    out["sol_pct"] = round(
+        floor_s * 1e3 / steps / out["device_step_ms"] * 100, 1
+    )
+    out["sol_attn_measured_ms"] = round(attn_meas_s * 1e3 / steps, 2)
+    out["sol_opaque_kernel_ms"] = round(opaque_s * 1e3 / steps, 2)
+    out["sol_breakdown_ms"] = {
+        c: round(s * 1e3 / steps, 2)
+        for c, s in sorted(cat_s.items(), key=lambda kv: -kv[1])[:8]
+        if s * 1e3 / steps >= 0.05
+    }
+    return out
 
 
 def _measure() -> dict:
@@ -521,16 +638,35 @@ def _measure() -> dict:
         )
     del checksum
 
+    # analytic Pallas-path attention flops, shared by the MFU add-back and
+    # the trace roofline's flash-kernel floor (None when flash is off or
+    # the recorder fails -> flash events fall back to measured-as-floor)
+    flash_on = cfg.flash_attention == "on" or (
+        cfg.flash_attention == "auto" and jax.default_backend() == "tpu"
+    )
+    attn_fwd = (
+        _attention_fwd_flops(bundle, dev["images"], cfg) if flash_on else None
+    )
+
     _phase("profiler trace")
-    device_step_ms = (
-        _trace_device_step_ms(fn, (bundle, dev["images"], dev["sparse"], cfg), steps)
+    peak = _peak_tflops(jax.devices()[0].device_kind)
+    hbm = _peak_hbm_gbps(jax.devices()[0].device_kind)
+    trace = (
+        _trace_metrics(
+            fn, (bundle, dev["images"], dev["sparse"], cfg), steps,
+            peak_tflops=peak, hbm_gbps=hbm,
+            attn_fwd_flops_step=attn_fwd,
+            attn_bwd_factor=1.0 if fast else 3.5,
+        )
         if do_trace
         else None
     )
-    do_sol = jax.default_backend() == "tpu" and (
-        sol_mode == "1" or (sol_mode == "auto" and cache_state == "hit")
-    )
-    _phase("SOL components" if do_sol else "SOL skipped")
+    device_step_ms = trace.get("device_step_ms") if trace else None
+    # standalone composition-floor components: explicit opt-in only — their
+    # cold compiles died on the degraded tunnel in rounds 3-4; the trace
+    # roofline above is the always-available SOL (VERDICT r4 #2)
+    do_sol = jax.default_backend() == "tpu" and sol_mode == "1"
+    _phase("SOL components" if do_sol else "standalone SOL skipped")
     sol = (
         _sol_components(
             bundle, dev["images"], dev["sparse"], cfg,
@@ -579,8 +715,16 @@ def _measure() -> dict:
     step_s = (
         device_step_ms / 1e3 if device_step_ms is not None else best / steps
     )
-    peak = _peak_tflops(jax.devices()[0].device_kind)
     result["device_kind"] = jax.devices()[0].device_kind
+    if trace:
+        # roofline SOL from the traced program (see _trace_metrics): the
+        # per-op compute/bandwidth floor over the achieved device span
+        for k in (
+            "sol_pct", "sol_roofline_ms", "sol_attn_measured_ms",
+            "sol_opaque_kernel_ms", "sol_breakdown_ms",
+        ):
+            if k in trace:
+                result[k] = trace[k]
     if program_flops is not None:
         # XLA's cost analysis counts the sampling scan's body ONCE (verified
         # round 4 on CPU and the tunnel), so program_flops ~= per-step flops
@@ -591,16 +735,11 @@ def _measure() -> dict:
         # 2, so fwd+bwd = 3.5x the forward's attention flops (fast-guidance
         # skips the UNet backward entirely -> factor 1).
         step_flops = program_flops
-        # mirror the sampler's own engagement condition
-        # (pipeline/sampler.py:348-353), not just the backend
-        flash_on = cfg.flash_attention == "on" or (
-            cfg.flash_attention == "auto" and jax.default_backend() == "tpu"
-        )
-        if flash_on:
-            attn_fwd = _attention_fwd_flops(bundle, dev["images"], cfg)
-            if attn_fwd is not None:
-                step_flops += attn_fwd * (1.0 if fast else 3.5)
-                result["attn_flops_per_step"] = round(attn_fwd / 1e9, 1)  # GF
+        # attn_fwd/flash_on computed above (pre-trace): mirror the
+        # sampler's own engagement condition (pipeline/sampler.py:348-353)
+        if flash_on and attn_fwd is not None:
+            step_flops += attn_fwd * (1.0 if fast else 3.5)
+            result["attn_flops_per_step"] = round(attn_fwd / 1e9, 1)  # GF
         result["flops_per_step"] = round(step_flops / 1e9, 1)  # GF
         if peak is not None and step_s > 0:
             result["peak_bf16_tflops"] = peak
@@ -612,7 +751,9 @@ def _measure() -> dict:
         # fwd+bwd programs at the bench geometry (see _sol_components)
         result["sol_components_ms"] = sol
         if step_s > 0 and sol.get("sol_step_ms"):
-            result["sol_pct"] = round(
+            # composition floor: isolated-program sum over the fused step
+            # (distinct from the trace-roofline sol_pct above)
+            result["sol_composition_pct"] = round(
                 sol["sol_step_ms"] / (step_s * 1e3) * 100, 1
             )
     return result

@@ -69,25 +69,34 @@ def unet_tp_spec(path: tuple, leaf: Any) -> PartitionSpec:
     return PartitionSpec()  # replicated
 
 
+def unet_param_sharding(
+    mesh: Mesh, path: tuple, leaf: Any, tensor_parallel: bool = True
+) -> NamedSharding:
+    """NamedSharding for one UNet param leaf: the TP spec with the
+    divisibility fallback applied — a sharded dim that doesn't divide the
+    model-axis size replicates instead (GSPMD would pad unevenly; tiny
+    boundary layers don't pay). ``leaf`` needs only .shape/.ndim, so
+    abstract ShapeDtypeStructs work (production-geometry lowering checks).
+    """
+    model_size = mesh.shape.get(AXIS_MODEL, 1)
+    spec = unet_tp_spec(path, leaf) if tensor_parallel else PartitionSpec()
+    for dim, axis in enumerate(spec):
+        if axis == AXIS_MODEL and leaf.shape[dim] % model_size:
+            spec = PartitionSpec()
+            break
+    return NamedSharding(mesh, spec)
+
+
 def shard_bundle(mesh: Mesh, bundle, tensor_parallel: bool = False):
     """device_put the bundle: replicated, or TP-sharded UNet (attention/MLP
     linears + resnet conv channels; see module docstring)."""
-    model_size = mesh.shape.get(AXIS_MODEL, 1)
 
-    def place(spec_fn):
-        def fn(path, leaf):
-            spec = spec_fn(path, leaf) if tensor_parallel else PartitionSpec()
-            # fall back to replicated when the sharded dim doesn't divide
-            # (GSPMD would pad unevenly; tiny boundary layers don't pay)
-            for dim, axis in enumerate(spec):
-                if axis == AXIS_MODEL and leaf.shape[dim] % model_size:
-                    spec = PartitionSpec()
-                    break
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
+    def place(path, leaf):
+        return jax.device_put(
+            leaf, unet_param_sharding(mesh, path, leaf, tensor_parallel)
+        )
 
-        return fn
-
-    unet_params = jax.tree_util.tree_map_with_path(place(unet_tp_spec), bundle.unet_params)
+    unet_params = jax.tree_util.tree_map_with_path(place, bundle.unet_params)
     rep = lambda path, leaf: jax.device_put(  # noqa: E731
         leaf, NamedSharding(mesh, PartitionSpec())
     )

@@ -199,3 +199,101 @@ def test_sol_components_deadline_skips(monkeypatch):
     assert comp is not None
     assert comp.get("sol_step_ms") is None
     assert not calls  # nothing measured past the deadline
+
+
+def _mkev(cat=None, dur_us=1000, flops=0, nbytes=0, src="", pid=1, name="op"):
+    args = {}
+    if cat is not None:
+        args["hlo_category"] = cat
+        args["device_duration_ps"] = int(dur_us * 1e6)
+    if flops:
+        args["model_flops"] = str(flops)
+    if nbytes:
+        args["raw_bytes_accessed"] = str(nbytes)
+    if src:
+        args["source"] = src
+    return {"ph": "X", "pid": pid, "name": name, "dur": dur_us, "args": args}
+
+
+def _device_meta(pid=1):
+    return {
+        "ph": "M", "pid": pid, "name": "process_name",
+        "args": {"name": "/device:TPU:0"},
+    }
+
+
+def test_analyze_trace_events_roofline():
+    """Hand-checkable roofline: one flop-bound fusion, one bandwidth-bound
+    fusion, one flash custom-call (analytic floor), one opaque custom-call
+    (measured floor), async bookkeeping excluded, module span = longest."""
+    peak_tf, bw = 100.0, 100.0  # 100 TF/s, 100 GB/s
+    steps = 10
+    events = [
+        _device_meta(),
+        # module container (no hlo_category): span 100 ms -> 10 ms/step
+        {"ph": "X", "pid": 1, "name": "jit_m", "dur": 100_000, "args": {}},
+        # flop-bound: 1e12 flops / 1e14 = 10 ms floor (measured 20 ms)
+        _mkev("convolution fusion", 20_000, flops=1e12, nbytes=1),
+        # bandwidth-bound: 1e9 bytes / 1e11 = 10 ms floor (measured 12 ms)
+        _mkev("loop fusion", 12_000, flops=1, nbytes=1e9),
+        # flash custom-call: zero flops/bytes, floored analytically
+        _mkev("custom-call", 30_000,
+              src="/x/depth_completion_tpu/ops/flash_attention.py:905"),
+        # opaque custom-call (conv3x3): measured time 8 ms is its own floor
+        _mkev("custom-call", 8_000, src="/x/ops/conv3x3.py:162"),
+        # async bookkeeping: excluded from the floor entirely
+        _mkev("async-done", 50_000, nbytes=1e12),
+        # scan container: excluded
+        _mkev("while", 90_000),
+        # host-side event: ignored (wrong track)
+        _mkev("convolution fusion", 99_000, flops=1e15, pid=2),
+    ]
+    # analytic attention: 1e11 fwd flops/step * 2.0 bwd factor * 10 steps
+    # / 1e14 = 20 ms total -> 2 ms/step
+    out = bench._analyze_trace_events(
+        events, steps, peak_tf, bw, attn_fwd_flops_step=1e11,
+        attn_bwd_factor=2.0,
+    )
+    assert out["device_step_ms"] == 10.0
+    # floor: 10 (conv) + 10 (bw) + 8 (opaque) + 20 (attn) = 48 ms -> 4.8/step
+    assert out["sol_roofline_ms"] == 4.8, out
+    assert out["sol_pct"] == 48.0, out
+    assert out["sol_attn_measured_ms"] == 3.0  # 30 ms / 10 steps
+    assert out["sol_opaque_kernel_ms"] == 0.8
+    assert "async-done" in out["sol_breakdown_ms"]  # measured, not floored
+    assert "while" not in out["sol_breakdown_ms"]
+
+
+def test_analyze_trace_events_no_attn_analytic_falls_back():
+    """Without analytic attention flops the flash events fall back to
+    measured-as-floor (conservative), not zero."""
+    events = [
+        _device_meta(),
+        {"ph": "X", "pid": 1, "name": "jit_m", "dur": 50_000, "args": {}},
+        _mkev("custom-call", 30_000,
+              src="/x/depth_completion_tpu/ops/flash_attention.py:905"),
+    ]
+    out = bench._analyze_trace_events(
+        events, 10, 100.0, 100.0, attn_fwd_flops_step=None,
+        attn_bwd_factor=3.5,
+    )
+    assert out["sol_roofline_ms"] == 3.0
+    assert out["sol_opaque_kernel_ms"] == 3.0
+
+
+def test_analyze_trace_events_device_step_only_without_peaks():
+    events = [
+        _device_meta(),
+        {"ph": "X", "pid": 1, "name": "jit_m", "dur": 80_000, "args": {}},
+    ]
+    out = bench._analyze_trace_events(events, 8, None, None, None, 3.5)
+    assert out == {"device_step_ms": 10.0}
+
+
+def test_peak_hbm_mapping(monkeypatch):
+    monkeypatch.delenv("BENCH_PEAK_HBM_GBPS", raising=False)
+    assert bench._peak_hbm_gbps("TPU v5 lite") == 819.0
+    assert bench._peak_hbm_gbps("TPU v6e") == 1640.0
+    assert bench._peak_hbm_gbps("Quantum Chip") is None
+    monkeypatch.setenv("BENCH_PEAK_HBM_GBPS", "1234")
+    assert bench._peak_hbm_gbps("Quantum Chip") == 1234.0
