@@ -300,7 +300,7 @@ def _sol_components(bundle, images_d, sparse_d, cfg, deadline_s: float | None = 
             try:
                 comp[name] = round(_chained_ms_per_call(fn, lat0), 2)
             except Exception as exc:  # e.g. standalone-program OOM
-                comp[name] = f"error: {type(exc).__name__}"
+                comp[name] = f"error: {type(exc).__name__}: {exc}"[:160]
 
         timed("unet_fwd_bwd_ms", unet_fwd_bwd)
         timed("decode_fwd_bwd_ms", decode_fwd_bwd)

@@ -210,3 +210,34 @@ def test_tp_spec_shards_convs_and_guards_divisibility():
     )
     spec = unet_tp_spec(path, _Leaf())
     assert spec == jax.sharding.PartitionSpec(None, None, None, AXIS_MODEL)
+
+
+def test_unet_param_sharding_divisibility_fallback():
+    """unet_param_sharding (used by shard_bundle AND the production-
+    geometry lowering check) applies the divisibility guard: an eligible
+    leaf whose sharded dim doesn't divide the model axis replicates, and
+    it accepts abstract ShapeDtypeStructs (no data)."""
+    import jax.tree_util as jtu
+    from jax.sharding import PartitionSpec
+
+    from depth_completion_tpu.parallel.sharding import unet_param_sharding
+
+    mesh = _mesh(2, 4)  # model axis = 4
+    path = (
+        jtu.DictKey("down_blocks"),
+        jtu.DictKey("0"),
+        jtu.DictKey("resnets"),
+        jtu.DictKey("0"),
+        jtu.DictKey("conv1"),
+        jtu.DictKey("kernel"),
+    )
+    ok = jax.ShapeDtypeStruct((3, 3, 32, 32), jnp.float32)
+    bad = jax.ShapeDtypeStruct((3, 3, 32, 30), jnp.float32)  # 30 % 4 != 0
+    assert unet_param_sharding(mesh, path, ok).spec == PartitionSpec(
+        None, None, None, AXIS_MODEL
+    )
+    assert unet_param_sharding(mesh, path, bad).spec == PartitionSpec()
+    # tensor_parallel=False replicates everything
+    assert unet_param_sharding(
+        mesh, path, ok, tensor_parallel=False
+    ).spec == PartitionSpec()
