@@ -30,7 +30,6 @@ import click
 import numpy as np
 
 from depth_completion_tpu.cli.common import (
-    SUPPORTED_LOSS_FUNCS,
     coerce_guidance_options,
     init_bundle,
 )

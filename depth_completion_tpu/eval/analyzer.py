@@ -125,7 +125,7 @@ def _load_gt_batch(
 def analyze_datasets(
     dataset_root: Path,
     result_root: Path,
-    metrics: list[str] = ["mae", "rmse"],
+    metrics: tuple[str, ...] = ("mae", "rmse"),
     calc_binned_scores: bool = True,
     bin_size: float = 10.0,
     max_sparse_depth: float = 120.0,

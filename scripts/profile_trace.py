@@ -9,7 +9,6 @@ scripts/profile_trace.py [full]
 import glob
 import gzip
 import json
-import sys
 import time
 
 import jax

@@ -15,7 +15,6 @@ from depth_completion_tpu.io import msgpack_lite as mp
 from depth_completion_tpu.io.bl2 import (
     blosc1_available,
     blosc1_compress_chunk,
-    blosc1_decompress_chunk,
     chunk_info,
     decompress_chunk,
     load_bl2,

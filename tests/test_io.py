@@ -16,7 +16,6 @@ from depth_completion_tpu.io import (
     to_depth,
     to_segmask,
 )
-from depth_completion_tpu.io.codecs import HAVE_BLOSC2
 from depth_completion_tpu.io.csvio import load_csv, load_segmap
 from depth_completion_tpu.viz import has_nan, make_grid, visualize_depth
 

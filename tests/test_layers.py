@@ -1,7 +1,6 @@
 """Layer primitives vs torch reference semantics."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
