@@ -198,6 +198,84 @@ def _attention_fwd_flops(bundle, images_d, cfg) -> float | None:
         return None
 
 
+def _conv_call_costs(
+    x_shape: tuple, co: int, itemsize: int, has_skip: bool
+) -> tuple[float, float]:
+    """(FLOPs, HBM bytes) of one fused-conv3x3 call AS EXECUTED: the
+    decoder's W-packed formulation (vae_tiny.py:100-131) runs a dense
+    [3,3,2c,2c] conv on the packed input, so executed MACs are 2x the
+    logical conv's — the roofline floors the op as formulated, matching
+    how XLA's model_flops counts executed fusion work."""
+    n, h, w, ci = x_shape
+    flops = 2.0 * n * h * w * 9 * ci * co
+    plane = n * h * w * itemsize
+    nbytes = plane * (ci + co + (co if has_skip else 0))
+    return flops, nbytes
+
+
+def _conv3x3_fwd_costs(bundle, images_d, cfg) -> tuple[float, float] | None:
+    """(matmul FLOPs, HBM bytes) of ONE decode-path forward's fused-conv3x3
+    Pallas calls, recorded exactly by abstract-tracing ``latent_to_affine``
+    with a cost-recording stand-in (no device work). Used to floor the
+    conv3x3 custom-call trace events analytically in the roofline SOL —
+    those kernels report zero flops/bytes to XLA, and using their measured
+    time as their own floor (the round-5 first cut) assumed they were
+    already optimal. The guided step runs the decode forward plus its dx
+    conv (same cost class: ``_conv_fused_bwd`` reuses the kernel on the
+    flipped filter, conv3x3.py:211-219), so callers double this for a
+    per-step floor; dk/db are plain XLA forms already in cost analysis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from depth_completion_tpu.ops import conv3x3 as c3
+    from depth_completion_tpu.ops.resize import latent_size
+    from depth_completion_tpu.pipeline.sampler import latent_to_affine
+
+    try:
+        h, w = int(images_d.shape[1]), int(images_d.shape[2])
+        m = max(h, w)
+        new_h, new_w = cfg.resolution * h // m, cfg.resolution * w // m
+        padding = (-new_h % 16, -new_w % 16)
+        eh, ew = latent_size((h, w), cfg.resolution, bundle.vae.downsample_factor)
+        n = int(images_d.shape[0])
+        ch = getattr(bundle.vae.config, "latent_channels", 4)
+
+        costs = [0.0, 0.0]
+        real = c3.conv3x3_fused
+
+        def recording(x, kernel, bias=None, *, relu=False, skip=None):
+            co = kernel.shape[-1]
+            fl, by = _conv_call_costs(
+                tuple(x.shape), co, jnp.dtype(x.dtype).itemsize,
+                skip is not None,
+            )
+            costs[0] += fl
+            costs[1] += by
+            return jnp.zeros(tuple(x.shape[:3]) + (co,), x.dtype)
+
+        prev_env = os.environ.get("DCT_CONV_KERNEL")
+        os.environ["DCT_CONV_KERNEL"] = "on"  # engage the gate while tracing
+        c3.conv3x3_fused = recording
+        try:
+            lat = jax.ShapeDtypeStruct((n, eh, ew, ch), jnp.float32)
+            jax.eval_shape(
+                lambda z: latent_to_affine(
+                    bundle, z, (h, w), padding, cfg.interp_mode
+                ),
+                lat,
+            )
+        finally:
+            c3.conv3x3_fused = real
+            if prev_env is None:
+                os.environ.pop("DCT_CONV_KERNEL", None)
+            else:
+                os.environ["DCT_CONV_KERNEL"] = prev_env
+        return (costs[0], costs[1]) if costs[0] > 0 else None
+    except Exception:
+        return None
+
+
 def _chained_ms_per_call(fn, x, *args, calls: int = 8) -> float:
     """Wall time per call with output→input chaining (amortizes the remote
     tunnel's per-sync overhead; trustworthy above ~5 ms/call, PERF.md)."""
@@ -397,6 +475,8 @@ def _trace_metrics(
     hbm_gbps: float | None = None,
     attn_fwd_flops_step: float | None = None,
     attn_bwd_factor: float = 3.5,
+    conv_costs: tuple[float, float] | None = None,
+    conv_factor: float = 2.0,
 ) -> dict | None:
     """One traced run → device-time and roofline-SOL metrics, or None if the
     trace tooling is unavailable (e.g. no tensorboard profile plugin).
@@ -413,8 +493,10 @@ def _trace_metrics(
     max(flops/peak_flops, bytes/peak_bw). Pallas custom-calls report zero
     for both, so flash-attention events (source = ops/flash_attention.py)
     are floored analytically (the exact score/value matmul flops, bwd
-    = ``attn_bwd_factor`` x fwd) and other opaque kernels (fused conv3x3)
-    at their measured time — conservative in the kernels' favor. Async
+    = ``attn_bwd_factor`` x fwd), fused-conv3x3 events by the recorded
+    decode-path costs (``conv_costs`` from _conv3x3_fwd_costs; fwd + dx
+    per step = ``conv_factor``), and any remaining opaque kernel at its
+    measured time — conservative in the kernels' favor. Async
     copy bookkeeping (async-start/done, copy-start/done) is excluded: its
     bytes ride concurrently and are already charged to consuming fusions.
     """
@@ -444,6 +526,7 @@ def _trace_metrics(
         return _analyze_trace_events(
             events, steps, peak_tflops, hbm_gbps,
             attn_fwd_flops_step, attn_bwd_factor,
+            conv_costs, conv_factor,
         )
     except Exception:
         return None
@@ -456,6 +539,8 @@ def _analyze_trace_events(
     hbm_gbps: float | None,
     attn_fwd_flops_step: float | None,
     attn_bwd_factor: float,
+    conv_costs: tuple[float, float] | None = None,
+    conv_factor: float = 2.0,
 ) -> dict | None:
     """Pure analysis half of ``_trace_metrics`` (unit-testable offline)."""
     pid_names = {}
@@ -480,6 +565,7 @@ def _analyze_trace_events(
     ASYNC = {"async-start", "async-done", "copy-start", "copy-done"}
     floor_s = 0.0
     attn_meas_s = 0.0
+    conv_meas_s = 0.0
     opaque_s = 0.0
     cat_s: dict[str, float] = {}
     for ev in events:
@@ -498,11 +584,11 @@ def _analyze_trace_events(
         flops = float(a.get("model_flops", 0))
         nbytes = float(a.get("raw_bytes_accessed", 0))
         if flops == 0 and nbytes == 0:
-            if (
-                attn_fwd_flops_step is not None
-                and "flash_attention" in a.get("source", "")
-            ):
+            src = a.get("source", "")
+            if attn_fwd_flops_step is not None and "flash_attention" in src:
                 attn_meas_s += dur_s  # floored analytically below
+            elif conv_costs is not None and "conv3x3" in src:
+                conv_meas_s += dur_s  # floored analytically below
             else:
                 floor_s += dur_s  # opaque kernel: measured = floor
                 opaque_s += dur_s
@@ -513,6 +599,13 @@ def _analyze_trace_events(
             attn_fwd_flops_step * attn_bwd_factor * steps
             / (peak_tflops * 1e12)
         )
+    if conv_costs is not None:
+        cf, cb = conv_costs
+        floor_s += (
+            max(cf / (peak_tflops * 1e12), cb / (hbm_gbps * 1e9))
+            * conv_factor
+            * steps
+        )
     if floor_s <= 0:
         return out
     out["sol_roofline_ms"] = round(floor_s * 1e3 / steps, 2)
@@ -520,6 +613,8 @@ def _analyze_trace_events(
         floor_s * 1e3 / steps / out["device_step_ms"] * 100, 1
     )
     out["sol_attn_measured_ms"] = round(attn_meas_s * 1e3 / steps, 2)
+    if conv_costs is not None:
+        out["sol_conv_measured_ms"] = round(conv_meas_s * 1e3 / steps, 2)
     out["sol_opaque_kernel_ms"] = round(opaque_s * 1e3 / steps, 2)
     out["sol_breakdown_ms"] = {
         c: round(s * 1e3 / steps, 2)
@@ -647,6 +742,13 @@ def _measure() -> dict:
     attn_fwd = (
         _attention_fwd_flops(bundle, dev["images"], cfg) if flash_on else None
     )
+    # analytic decode-conv costs for the same roofline (the fused conv3x3
+    # kernel engages whenever the bench runs on TPU)
+    conv_costs = (
+        _conv3x3_fwd_costs(bundle, dev["images"], cfg)
+        if jax.default_backend() == "tpu"
+        else None
+    )
 
     _phase("profiler trace")
     peak = _peak_tflops(jax.devices()[0].device_kind)
@@ -657,6 +759,10 @@ def _measure() -> dict:
             peak_tflops=peak, hbm_gbps=hbm,
             attn_fwd_flops_step=attn_fwd,
             attn_bwd_factor=1.0 if fast else 3.5,
+            # decode fwd + its dx conv per step (fast mode still
+            # differentiates through the decoder)
+            conv_costs=conv_costs,
+            conv_factor=2.0,
         )
         if do_trace
         else None
@@ -721,7 +827,8 @@ def _measure() -> dict:
         # per-op compute/bandwidth floor over the achieved device span
         for k in (
             "sol_pct", "sol_roofline_ms", "sol_attn_measured_ms",
-            "sol_opaque_kernel_ms", "sol_breakdown_ms",
+            "sol_conv_measured_ms", "sol_opaque_kernel_ms",
+            "sol_breakdown_ms",
         ):
             if k in trace:
                 result[k] = trace[k]
