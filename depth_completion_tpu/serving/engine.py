@@ -537,6 +537,17 @@ class ServingEngine:
         self._thread.join(timeout)
         self._finish.put(None)
         self._finisher.join(timeout)
+        # Final drain: a retry requeue racing the worker's own leftover
+        # cleanup (finisher checks _stop, then _stop flips, worker exits)
+        # could strand requests in a queue nobody reads — fail them now so
+        # their waiters never hang until timeout.
+        exc = RuntimeError("serving engine shut down")
+        with self._cv:
+            leftovers = [r for q in self._queues.values() for r in q]
+            for q in self._queues.values():
+                q.clear()
+        for r in leftovers:
+            self._resolve(r, exc)
 
     # ------------------------------------------------------------- worker
 
