@@ -849,6 +849,22 @@ if _BLOCKS_ENV:
 else:
     _BLOCKS_OVERRIDE = None
 
+# Wide KV blocks for narrow heads (d <= 128): the round-5 full-program
+# block sweep measured (512, 2304, 512, 2304) at 0.5181 f/s/chip vs
+# 0.5080 for the shipped (512, 1024) — +2.0%, stable over repeats.
+# Mechanism: 3 KV blocks instead of 7 at the UNet stage-0 S=6912 means
+# fewer online-softmax rescale rounds per q tile (the fwd kernel is
+# VPU-bound on score-tile passes; PERF.md round-5) and an exactly-tiled
+# sequence (6912 = 3*2304: the per-block tail mask — iota+compare+select
+# over every score tile — drops out entirely, mask_tail=False).
+# SMALLER exact divisors lose (1152: 0.4953, 768: 0.4968 — block size
+# dominates mask removal) and 3456 fails to compile (VMEM), so 2304 is
+# the sweep's optimum. Gated to d <= _LANES: the KL VAE's single-head
+# d=512 k/v tiles at 2304 rows exceed the VMEM budget verified for it
+# (scripts/exp_vae_flash_vmem.py swept the (512, 1024) config).
+# DCT_FLASH_WIDE_K overrides (0 disables, any int sets the width).
+_WIDE_K = int(os.environ.get("DCT_FLASH_WIDE_K", "2304"))
+
 
 def flash_attention(
     q: jnp.ndarray,
@@ -882,6 +898,9 @@ def flash_attention(
 
     if _BLOCKS_OVERRIDE is not None:
         block_q, block_k, bwd_block_q, bwd_block_k = _BLOCKS_OVERRIDE
+    elif _WIDE_K > 0 and d <= _LANES:
+        # wide-KV default for narrow heads (see _WIDE_K above)
+        block_k = bwd_block_k = _WIDE_K
     sm_scale = 1.0 / math.sqrt(d)
     bq = min(block_q, _next_multiple(sq, _LANES))
     bk = min(block_k, _next_multiple(sk, _LANES))
