@@ -866,6 +866,30 @@ else:
 _WIDE_K = int(os.environ.get("DCT_FLASH_WIDE_K", "2304"))
 
 
+def _choose_kv_blocks(
+    sk: int, block_k: int, bwd_block_k: int
+) -> tuple[int, int]:
+    """Apply the wide-KV default when it does not inflate KV padding.
+
+    ``sk_pad`` rounds to lcm(effective bk, effective bbk); a blind 2304 at
+    e.g. the KITTI stage-0 S=2688 would pad to 4608 (+71% KV work per
+    call) where the narrow 1024 pads to 3072 — so the wide blocks engage
+    only at equal-or-less padding (equal covers exact tilings like
+    S=6912 = 3*2304 and the degenerate single-block cases).
+    """
+    if _WIDE_K <= 0:
+        return block_k, bwd_block_k
+
+    def sk_pad_for(ck: int, cbk: int) -> int:
+        ebk = min(ck, _next_multiple(sk, _LANES))
+        ebbk = min(cbk, _next_multiple(sk, _LANES))
+        return _next_multiple(sk, math.lcm(ebk, ebbk))
+
+    if sk_pad_for(_WIDE_K, _WIDE_K) <= sk_pad_for(block_k, bwd_block_k):
+        return _WIDE_K, _WIDE_K
+    return block_k, bwd_block_k
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -898,9 +922,10 @@ def flash_attention(
 
     if _BLOCKS_OVERRIDE is not None:
         block_q, block_k, bwd_block_q, bwd_block_k = _BLOCKS_OVERRIDE
-    elif _WIDE_K > 0 and d <= _LANES:
-        # wide-KV default for narrow heads (see _WIDE_K above)
-        block_k = bwd_block_k = _WIDE_K
+    elif d <= _LANES:
+        # wide-KV default for narrow heads, padding-guarded
+        # (see _choose_kv_blocks / _WIDE_K above)
+        block_k, bwd_block_k = _choose_kv_blocks(sk, block_k, bwd_block_k)
     sm_scale = 1.0 / math.sqrt(d)
     bq = min(block_q, _next_multiple(sq, _LANES))
     bk = min(block_k, _next_multiple(sk, _LANES))

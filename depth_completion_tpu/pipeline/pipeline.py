@@ -238,7 +238,13 @@ class DepthCompletionPipeline:
                 cfg.resolution,
                 self.bundle.vae.downsample_factor,
             )
-            expected = (images.shape[0], eh, ew, 4)
+            # channel count from the bundle's VAE, not the SD constant 4 —
+            # keeps the serving warmup's bundle-derived carry signature
+            # admissible for VAEs with a different latent width
+            channels = getattr(
+                self.bundle.vae.config, "latent_channels", 4
+            )
+            expected = (images.shape[0], eh, ew, channels)
             if tuple(pred_latents_prev.shape) != expected:
                 # reference marigold_dc.py:598-603 (with the corrected true
                 # latent geometry, see ops/resize.py:latent_size)

@@ -628,29 +628,33 @@ class ServingEngine:
             try:
                 self._run_batch(batch)
             except Exception as exc:
-                # one bounded retry of the whole batch: a transient backend
-                # error (e.g. a tunnel FailedPrecondition) must not fail a
+                # One bounded retry PER REQUEST: a transient backend error
+                # (e.g. a tunnel FailedPrecondition) must not fail a
                 # micro-batch of ~seconds-each requests (VERDICT r4 #5b).
-                # Deterministic errors simply fail again — one extra
-                # attempt of bounded cost.
-                if not any(r._retried for r in batch):
-                    for r in batch:
+                # A batch can mix fresh requests with one already-retried
+                # requeued request — only the already-retried ones fail;
+                # fresh batchmates still get their own retry. Deterministic
+                # errors simply fail again — one extra bounded attempt.
+                fresh = [r for r in batch if not r._retried]
+                stale = [r for r in batch if r._retried]
+                if stale:
+                    with self._lock:
+                        self._stats["errors"] += len(stale)
+                    for r in stale:
+                        self._resolve(r, exc)
+                if fresh:
+                    for r in fresh:
                         r._retried = True
                     with self._lock:
                         self._stats["retried_batches"] += 1
                     time.sleep(self.dispatch_retry_backoff_s)
                     try:
-                        self._run_batch(batch)
+                        self._run_batch(fresh)
                     except Exception as exc2:
                         with self._lock:
-                            self._stats["errors"] += len(batch)
-                        for r in batch:
+                            self._stats["errors"] += len(fresh)
+                        for r in fresh:
                             self._resolve(r, exc2)
-                else:  # surface to every waiter
-                    with self._lock:
-                        self._stats["errors"] += len(batch)
-                    for r in batch:
-                        self._resolve(r, exc)
             self._sweep_sessions()
         # fail any requests still queued at shutdown instead of letting
         # their waiters hang until timeout
@@ -754,16 +758,23 @@ class ServingEngine:
         self._finish.put((batch, n, pad, geo, denses, session, prev_held))
 
     def _requeue_batch(self, batch: list[ServeRequest], geo: tuple) -> None:
-        """Put a failed batch back at the FRONT of its geometry queue (order
-        preserved) so the compute thread redispatches it — the finisher must
-        never dispatch device work itself (single-dispatch-thread
-        invariant)."""
+        """Put a failed batch back near the FRONT of its geometry queue so
+        the compute thread redispatches it — the finisher must never
+        dispatch device work itself (single-dispatch-thread invariant).
+        Inserted AFTER any already-requeued (retried) requests at the
+        front: with two batches in flight, the earlier-failed batch was
+        requeued first and must redispatch first, or FIFO inverts and a
+        session's frame N+1 could recompute before frame N."""
         with self._cv:
             q = self._queues.get(geo)
             if q is None:
                 q = self._queues[geo] = deque()
                 self._rr.append(geo)
-            q.extendleft(reversed(batch))
+            idx = 0
+            while idx < len(q) and q[idx]._retried:
+                idx += 1
+            for i, r in enumerate(batch):
+                q.insert(idx + i, r)
             self._cv.notify()
 
     def _finisher_loop(self) -> None:
@@ -782,23 +793,41 @@ class ServingEngine:
                 # carry the failed dispatch overwrote, then hand the batch
                 # back to the compute thread for ONE bounded retry
                 if session is not None:
+                    restored = False
+                    if prev_held is not None:
+                        # with two session frames in flight, prev_held can
+                        # itself be the un-materialized output of an
+                        # earlier dispatch that ALSO failed — validate
+                        # before reinstating so the retry never chains off
+                        # a poisoned buffer (it re-seeds instead)
+                        try:
+                            np.asarray(prev_held[0])
+                            restored = True
+                        except Exception:
+                            restored = False
                     with self._lock:
-                        if prev_held is not None:
+                        if restored:
                             self._sessions[session] = prev_held
                         else:
                             self._sessions.pop(session, None)
-                if not any(r._retried for r in batch) and not self._stop:
-                    for r in batch:
+                # one bounded retry PER REQUEST (mirrors the worker path):
+                # already-retried requests fail; fresh ones requeue once
+                fresh = [r for r in batch if not r._retried]
+                stale = [r for r in batch if r._retried]
+                if self._stop:
+                    stale, fresh = batch, []
+                if stale:
+                    with self._lock:
+                        self._stats["errors"] += len(stale)
+                    for r in stale:
+                        self._resolve(r, exc)
+                if fresh:
+                    for r in fresh:
                         r._retried = True
                     with self._lock:
                         self._stats["retried_batches"] += 1
                     time.sleep(self.dispatch_retry_backoff_s)
-                    self._requeue_batch(batch, geo)
-                    continue
-                with self._lock:
-                    self._stats["errors"] += len(batch)
-                for r in batch:
-                    self._resolve(r, exc)
+                    self._requeue_batch(fresh, geo)
                 continue
             done_at = time.monotonic()
             with self._lock:

@@ -122,13 +122,16 @@ def main() -> None:
 
             log(f"{name}: compile + first run (batch {b})")
             try:
+                # bounded retry against transient tunnel errors (bench._retry)
+                from bench import _retry
+
                 t0 = time.time()
-                run_sync()
+                _retry(run_sync, label=name)
                 compile_first = time.time() - t0
                 times = []
                 for _ in range(repeats):
                     t0 = time.time()
-                    run_sync()
+                    _retry(run_sync, label=name)
                     times.append(time.time() - t0)
                 break
             except Exception as exc:

@@ -172,7 +172,16 @@ def main() -> None:
                 if engine._tier0_pipe is None:
                     promote_s = time.monotonic() - t0 - warm_s
                     break
+            # a permanently-failed signature keeps tier-0 alive by design;
+            # once the promotion thread has exited, waiting longer cannot
+            # change anything — stop instead of spinning out the timeout
+            if not any(
+                t.name == "dct-serving-tier-promote" and t.is_alive()
+                for t in threading.enumerate()
+            ):
+                break
             time.sleep(1.0)
+        stats = engine.stats()  # re-snapshot: promotions landed during wait
     engine.shutdown()
 
     def pctl(xs: list[float], q: float) -> float:

@@ -132,13 +132,18 @@ def main() -> None:
             continue
         log(f"{name}: compile + first run")
         try:
+            # bounded retry against transient tunnel errors (the BENCH_r04
+            # loss mode) — one flake must not discard a mode's multi-minute
+            # compile (bench._retry: backoff between attempts)
+            from bench import _retry
+
             t0 = time.time()
-            out = run_sync(cfg)
+            out = _retry(lambda: run_sync(cfg), label=name)
             compile_first = time.time() - t0
             times = []
             for _ in range(repeats):
                 t0 = time.time()
-                out = run_sync(cfg)
+                out = _retry(lambda: run_sync(cfg), label=name)
                 times.append(time.time() - t0)
         except Exception as exc:  # record, keep sweeping
             log(f"{name}: FAILED {type(exc).__name__}: {exc}")
@@ -157,10 +162,13 @@ def main() -> None:
                 float(np.abs(out[valid] - sparse[valid]).mean()), 4
             ),
         }
-        if ref_out is None:
+        # only the full-parity mode may serve as the drift reference — a
+        # filtered/failed full-50 must NOT silently promote a fast mode to
+        # reference (the mae_vs_full keys would lie about their baseline)
+        if name == "full-50" and ref_out is None:
             ref_out = out
             row["is_reference"] = True
-        else:
+        elif ref_out is not None:
             diff = out - ref_out
             row["mae_vs_full_m"] = round(float(np.abs(diff).mean()), 4)
             row["rmse_vs_full_m"] = round(float(np.sqrt((diff**2).mean())), 4)

@@ -317,3 +317,23 @@ def test_transposed_backward_matches_baseline(monkeypatch):
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
                 err_msg=f"transposed-vs-xla grad d{name} mismatch",
             )
+
+
+def test_choose_kv_blocks_padding_guard():
+    """The wide-KV default engages only when it does not inflate KV
+    padding (round-5 review: a blind 2304 at KITTI stage-0 S=2688 would
+    pad to 4608 where 1024 pads to 3072)."""
+    from depth_completion_tpu.ops.flash_attention import _WIDE_K, _choose_kv_blocks
+
+    assert _WIDE_K == 2304  # the swept optimum (PERF.md round-5)
+    # bench stage-0: 6912 = 3*2304 exact -> wide
+    assert _choose_kv_blocks(6912, 1024, 1024) == (2304, 2304)
+    # KITTI stage-0: wide would pad 2688 -> 4608 (+71%) -> keep narrow
+    assert _choose_kv_blocks(2688, 1024, 1024) == (1024, 1024)
+    # stage-1 1728: effective wide block min()s to 1792 (pad 64) vs
+    # narrow 1024 (pad to 2048) -> wide
+    assert _choose_kv_blocks(1728, 1024, 1024) == (2304, 2304)
+    # native KITTI 6688: wide pads to 6912 (3.3%) vs narrow 7168 -> wide
+    assert _choose_kv_blocks(6688, 1024, 1024) == (2304, 2304)
+    # S = 3072: wide pads to 4608, narrow exact -> narrow
+    assert _choose_kv_blocks(3072, 1024, 1024) == (1024, 1024)

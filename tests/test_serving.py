@@ -1163,3 +1163,132 @@ def test_warmup_carry_channels_follow_bundle():
         assert carry_shapes[0][-1] == 16, carry_shapes
     finally:
         eng.shutdown()
+
+
+def test_engine_mixed_batch_retry_only_fresh():
+    """A batch mixing an already-retried (requeued) request with a fresh
+    one: on failure only the stale request fails; the fresh batchmate
+    still gets its own bounded retry (round-5 review finding)."""
+    calls = []
+    entered = threading.Event()
+    release = threading.Event()
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            calls.append(images.shape[0])
+            if len(calls) == 1:  # blocker: succeed slowly
+                entered.set()
+                release.wait(60)
+                return _fake_pipe_result(images)
+            if len(calls) == 2:  # the mixed batch: transient failure
+                raise RuntimeError("transient backend error")
+            return _fake_pipe_result(images)  # the fresh request's retry
+
+    eng = ServingEngine(
+        _Pipe(), dict(max_depth=120.0), max_batch=2, max_delay_ms=200.0
+    )
+    eng.dispatch_retry_backoff_s = 0.0
+    try:
+        img, sp = _frame(0)
+        blocker = eng.submit(ServeRequest(image=img, sparse=sp))
+        assert entered.wait(10)
+        ra = eng.submit(ServeRequest(image=img, sparse=sp))
+        ra._retried = True  # as if already requeued once
+        rb = eng.submit(ServeRequest(image=img, sparse=sp))
+        release.set()
+        blocker.wait(30)
+        with pytest.raises(RuntimeError, match="transient"):
+            ra.wait(30)
+        out = rb.wait(30)  # fresh batchmate survives via its own retry
+        assert out.shape == (H, W, 1)
+        assert calls == [1, 2, 1]  # blocker, failed pair, retried single
+        assert eng.stats()["errors"] == 1
+        assert eng.stats()["retried_batches"] == 1
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_requeue_batch_inserts_after_retried_front():
+    """_requeue_batch must not jump a later-failed batch ahead of an
+    earlier-failed one already requeued at the queue front (FIFO and
+    session frame order would invert)."""
+    entered = threading.Event()
+    release = threading.Event()
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            entered.set()
+            release.wait(60)
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_Pipe(), dict(max_depth=120.0), max_batch=1)
+    try:
+        img, sp = _frame(0)
+        blocker = eng.submit(ServeRequest(image=img, sparse=sp))
+        assert entered.wait(10)
+        ra = eng.submit(ServeRequest(image=img, sparse=sp))  # earlier retry
+        ra._retried = True
+        rb = eng.submit(ServeRequest(image=img, sparse=sp))  # later-failed
+        geo = (H, W)
+        with eng._cv:
+            eng._queues[geo].remove(rb)  # as if collected then failed
+        rb._retried = True
+        eng._requeue_batch([rb], geo)
+        with eng._cv:
+            order = list(eng._queues[geo])
+        assert order == [ra, rb], "later retry must slot AFTER earlier one"
+    finally:
+        release.set()
+        eng.shutdown()
+
+
+def test_finisher_restores_only_materializable_carry():
+    """The finisher's session-carry restore validates prev_held: a good
+    previous latent is reinstated; a poisoned one (an earlier in-flight
+    dispatch that also failed) is dropped so the retry re-seeds instead
+    of chaining off a dead buffer (round-5 review finding)."""
+    import time as _time
+
+    class _Poisoned:
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("transient")
+
+    class _Pipe:
+        def __call__(self, images, sparses, **k):
+            return _fake_pipe_result(images)
+
+    eng = ServingEngine(_Pipe(), dict(max_depth=120.0), max_batch=1)
+    eng.dispatch_retry_backoff_s = 0.0
+    try:
+        img, sp = _frame(0)
+        geo = tuple(img.shape[:2])
+
+        def feed(prev_held, session):
+            req = ServeRequest(image=img, sparse=sp, session=session)
+            req._retried = True  # exhausted: finisher fails, no requeue
+            with eng._lock:
+                eng._pending += 1
+            eng._sessions[session] = (_Poisoned(), _time.monotonic())
+            eng._finish.put(
+                ([req], 1, 0, geo, _Poisoned(), session, prev_held)
+            )
+            with pytest.raises(RuntimeError):
+                req.wait(10)
+
+        good = (np.ones((1, 4, 4, 4), np.float32), _time.monotonic())
+        feed(good, "good")
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and "good" not in eng._sessions:
+            _time.sleep(0.01)
+        with eng._lock:
+            assert eng._sessions.get("good") == good  # reinstated
+
+        feed((_Poisoned(), _time.monotonic()), "bad")
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and "bad" in eng._sessions:
+            _time.sleep(0.01)
+        with eng._lock:
+            assert "bad" not in eng._sessions  # poisoned restore dropped
+    finally:
+        eng.shutdown()
