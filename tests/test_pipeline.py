@@ -328,3 +328,30 @@ def test_remat_auto_decision_flips_with_mocked_hbm(monkeypatch):
     assert lowered("auto") == on
     monkeypatch.setattr(sampler, "_remat_auto_threshold", lambda: 10**12)
     assert lowered("auto") == off
+
+
+def test_prev_latent_validation_uses_bundle_channels(inputs):
+    """The carry shape check derives its channel count from the bundle's
+    VAE (round-5 review: it hardcoded 4, so the serving warmup's
+    bundle-derived carry signature was rejected for any other VAE).
+    Validation runs before any compute, so a config-only 8-channel bundle
+    suffices to exercise it."""
+    import dataclasses
+
+    from depth_completion_tpu.ops.resize import latent_size
+
+    bundle = make_random_bundle(seed=0)
+    cfg8 = dataclasses.replace(bundle.vae.config, latent_channels=8)
+    bundle8 = dataclasses.replace(
+        bundle, vae=dataclasses.replace(bundle.vae, params=bundle.vae.params, config=cfg8)
+    )
+    pipe8 = DepthCompletionPipeline(bundle8)
+    images, sparse = inputs
+    eh, ew = latent_size((48, 64), 64, bundle8.vae.downsample_factor)
+    # a 4-channel carry must be rejected with the TRUE expected shape (8)
+    with pytest.raises(ValueError, match=r"8\)"):
+        pipe8(
+            images, sparse,
+            pred_latents_prev=np.zeros((1, eh, ew, 4), np.float32),
+            **COMMON,
+        )
