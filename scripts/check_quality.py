@@ -4,13 +4,18 @@ The reference gates with black + pyright + ruff (reference
 pyproject.toml:18-49); this repo configures the TPU-era equivalents
 (ruff check, ruff format, pyright — see pyproject.toml). This runner
 executes whichever of those tools the environment provides, and ALWAYS
-runs two built-in gates that need nothing beyond the stdlib:
+runs four built-in gates that need nothing beyond the stdlib:
 
 1. syntax: ``compileall`` over the package, scripts, tests, bench/entry.
 2. import sweep: import every module of ``depth_completion_tpu`` on the
    CPU backend — catches unresolved imports, module-level typos, and
    import-time regressions (e.g. env-knob parsing) that a pure syntax
    pass misses.
+3. AST lint: unused module-scope imports, bare except, mutable default
+   args, duplicate dict-literal keys (the highest-value ruff subset).
+4. AST name resolution: pyflakes-F821-class undefined-name detection
+   (flat-scoped, zero-false-positive design) — catches typo'd
+   identifiers in branches no test executes.
 
 Exit code is non-zero if any executed gate fails. Missing tools are
 reported as SKIPPED (this image ships no ruff/black/pyright and installs
@@ -150,6 +155,93 @@ def _ast_lint(targets: list[str]) -> list[str]:
     return findings
 
 
+def _undefined_names(targets: list[str]) -> list[str]:
+    """Pyflakes-F821-class check: flag Load of a name never bound in the file.
+
+    Deliberately FLAT-scoped and conservative: a name counts as bound if it
+    is bound *anywhere* in the module (any Store/Del context, argument,
+    import alias, def/class name, except/match capture). This misses scope
+    violations but flags the common real bug — a typo'd identifier that no
+    binding anywhere matches — with essentially zero false positives.
+    Files containing a wildcard import are skipped (star-injected names are
+    unknowable statically).
+    """
+    import ast
+    import builtins
+
+    findings: list[str] = []
+    paths: list[str] = []
+    for t in targets:
+        if os.path.isfile(t):
+            paths.append(t)
+            continue
+        for root, dirs, names in os.walk(t):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            paths.extend(
+                os.path.join(root, n) for n in names if n.endswith(".py")
+            )
+
+    known = set(dir(builtins)) | {
+        "__file__", "__name__", "__doc__", "__spec__", "__package__",
+        "__builtins__", "__debug__", "__path__", "__loader__", "__class__",
+    }
+
+    for path in sorted(paths):
+        rel = os.path.relpath(path, REPO)
+        with open(path, encoding="utf-8") as f:
+            src = f.read()
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            continue  # gate 1 owns syntax errors
+
+        bound: set[str] = set()
+        skip = False
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and isinstance(
+                node.ctx, (ast.Store, ast.Del)
+            ):
+                bound.add(node.id)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    bound.add((a.asname or a.name).split(".")[0])
+            elif isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    if a.name == "*":
+                        skip = True
+                    else:
+                        bound.add(a.asname or a.name)
+            elif isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                bound.add(node.name)
+            elif isinstance(node, ast.arg):
+                bound.add(node.arg)
+            elif isinstance(node, ast.ExceptHandler) and node.name:
+                bound.add(node.name)
+            elif isinstance(node, (ast.Global, ast.Nonlocal)):
+                bound.update(node.names)
+            elif isinstance(node, ast.MatchAs) and node.name:
+                bound.add(node.name)
+            elif isinstance(node, ast.MatchStar) and node.name:
+                bound.add(node.name)
+            elif isinstance(node, ast.MatchMapping) and node.rest:
+                bound.add(node.rest)
+        if skip:
+            continue
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Name)
+                and isinstance(node.ctx, ast.Load)
+                and node.id not in bound
+                and node.id not in known
+            ):
+                findings.append(
+                    f"{rel}:{node.lineno}: undefined name '{node.id}'"
+                )
+    return findings
+
+
 def main() -> int:
     # ---- built-in gate 1: syntax ------------------------------------------
     targets = [
@@ -192,6 +284,16 @@ def main() -> int:
         "ast lint (unused-import/bare-except/mutable-default/dup-key)",
         not lint_bad,
         f"{len(lint_bad)} findings" if lint_bad else "",
+    )
+
+    # ---- built-in gate 4: undefined names (F821-class) --------------------
+    undef_bad = _undefined_names(targets + files)
+    if undef_bad:
+        sys.stderr.write("\n".join(undef_bad) + "\n")
+    record(
+        "ast name resolution (undefined names)",
+        not undef_bad,
+        f"{len(undef_bad)} findings" if undef_bad else "",
     )
 
     # ---- external gates (run when available) ------------------------------

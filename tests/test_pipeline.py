@@ -355,3 +355,43 @@ def test_prev_latent_validation_uses_bundle_channels(inputs):
             pred_latents_prev=np.zeros((1, eh, ew, 4), np.float32),
             **COMMON,
         )
+
+
+@pytest.mark.parametrize(
+    "hw",
+    [
+        (47, 63),   # both dims odd, landscape
+        (63, 47),   # portrait (W < H exercises the other resize branch)
+        (33, 128),  # extreme wide: resized H collapses near the pad floor
+        (100, 31),  # extreme tall
+        (16, 16),   # square, already smaller than the processing res
+    ],
+)
+def test_e2e_odd_geometries(pipe, hw):
+    """Padding/unpad bookkeeping survives awkward aspect ratios.
+
+    The reference resizes the longest side to ``resolution`` and pads to a
+    multiple of 16 (MarigoldImageProcessor.preprocess semantics, reference
+    marigold_dc.py:687-693); every e2e test above runs 48x64, so non-16
+    multiples, portrait orientation, and extreme aspect ratios were only
+    covered at the resize-unit level. Output must come back at the ORIGINAL
+    resolution, finite, and deterministic."""
+    h, w = hw
+    rng = np.random.default_rng(42)
+    images = rng.uniform(0, 255, size=(1, h, w, 3)).astype(np.float32)
+    sparse = np.zeros((1, h, w, 1), np.float32)
+    mask = rng.random((1, h, w, 1)) < 0.1
+    mask[0, h // 2, w // 2, 0] = True  # guarantee at least one anchor
+    sparse[mask] = rng.uniform(2.0, 80.0, mask.sum()).astype(np.float32)
+    denses, latents = pipe(images, sparse, max_depth=120.0, steps=2, resolution=64)
+    d = np.asarray(denses)
+    assert d.shape == (1, h, w, 1)
+    assert np.isfinite(d).all()
+    from depth_completion_tpu.ops.resize import latent_size
+
+    eh, ew = latent_size((h, w), 64, pipe.bundle.vae.downsample_factor)
+    assert latents.shape == (1, eh, ew, latents.shape[-1])
+    d2 = np.asarray(
+        pipe(images, sparse, max_depth=120.0, steps=2, resolution=64)[0]
+    )
+    np.testing.assert_array_equal(d, d2)
