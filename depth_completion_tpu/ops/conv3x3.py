@@ -79,17 +79,35 @@ def supported(x: jnp.ndarray) -> bool:
 
 
 def _conv_kernel(
-    x_ref, top_ref, bot_ref, k_ref, b_ref, skip_ref, o_ref, *, relu, n_hblocks
+    x_ref, top_ref, bot_ref, k_ref, b_ref, skip_ref,
+    m_ref, mtop_ref, mbot_ref, o_ref, mo_ref, *, relu, n_hblocks
 ):
     i = pl.program_id(1)
     hb, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     co = k_ref.shape[3]
     x = x_ref[0]
 
+    # Input-side ReLU mask (backward fusion): x ← where(m > 0, x, 0) applied
+    # tile-wise as the operand streams through VMEM, instead of a standalone
+    # full-tensor compare/select round trip in HBM (trace: three ~2 ms
+    # compare_select_fusions per decode block at bench geometry).
+    # (compares run in fp32: Mosaic cannot lower cmpf on packed bf16 vectors)
+    if m_ref is not None:
+        x = jnp.where(m_ref[0].astype(jnp.float32) > 0, x, jnp.zeros_like(x))
+    if mo_ref is not None:
+        mo_ref[0] = x  # masked operand, for consumers outside (dskip/dk/db)
+
     # Halo rows (clamped index maps fetch row 0 / H-1 at the edges; the real
     # SAME-conv boundary is zero padding, so mask them off there).
     top = jnp.where(i == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
     bot = jnp.where(i == n_hblocks - 1, jnp.zeros_like(bot_ref[0]), bot_ref[0])
+    if m_ref is not None:
+        top = jnp.where(
+            mtop_ref[0].astype(jnp.float32) > 0, top, jnp.zeros_like(top)
+        )
+        bot = jnp.where(
+            mbot_ref[0].astype(jnp.float32) > 0, bot, jnp.zeros_like(bot)
+        )
     rows = jnp.concatenate([top, x, bot], axis=0)  # [hb+2, w, c]
 
     zcol = jnp.zeros((hb, 1, c), x.dtype)
@@ -118,7 +136,11 @@ def _conv_kernel(
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def _conv_call(x, kernel, bias, skip, relu):
+def _conv_call(x, kernel, bias, skip, relu, mask=None, emit_masked=False):
+    """The Pallas call. ``mask`` (same shape as ``x``) zeroes the operand
+    where ``mask <= 0`` as it streams in — the backward ReLU-mask fusion.
+    ``emit_masked`` additionally returns the masked operand as a second
+    output (for dskip/dk/db consumers when the masked tensor stays live)."""
     n, h, w, c = x.shape
     co = kernel.shape[3]
     hb = _pick_block_h(h, w, c, x.dtype.itemsize)
@@ -126,16 +148,17 @@ def _conv_call(x, kernel, bias, skip, relu):
         raise ValueError(f"conv3x3_fused: no H tiling for shape {x.shape}")
     nh = h // hb
 
+    tile_spec = pl.BlockSpec((1, hb, w, c), lambda nn, ii: (nn, ii, 0, 0))
+    # one-row halos: block_h = 1 ⇒ the index map addresses element rows
+    top_spec = pl.BlockSpec(
+        (1, 1, w, c), lambda nn, ii: (nn, jnp.maximum(ii * hb - 1, 0), 0, 0)
+    )
+    bot_spec = pl.BlockSpec(
+        (1, 1, w, c),
+        lambda nn, ii: (nn, jnp.minimum(ii * hb + hb, h - 1), 0, 0),
+    )
     in_specs = [
-        pl.BlockSpec((1, hb, w, c), lambda nn, ii: (nn, ii, 0, 0)),
-        # one-row halos: block_h = 1 ⇒ the index map addresses element rows
-        pl.BlockSpec(
-            (1, 1, w, c), lambda nn, ii: (nn, jnp.maximum(ii * hb - 1, 0), 0, 0)
-        ),
-        pl.BlockSpec(
-            (1, 1, w, c),
-            lambda nn, ii: (nn, jnp.minimum(ii * hb + hb, h - 1), 0, 0),
-        ),
+        tile_spec, top_spec, bot_spec,
         pl.BlockSpec((3, 3, c, co), lambda nn, ii: (0, 0, 0, 0)),
     ]
     args = [x, x, x, kernel]
@@ -145,26 +168,41 @@ def _conv_call(x, kernel, bias, skip, relu):
     if skip is not None:
         in_specs.append(pl.BlockSpec((1, hb, w, co), lambda nn, ii: (nn, ii, 0, 0)))
         args.append(skip)
+    if mask is not None:
+        in_specs.extend([tile_spec, top_spec, bot_spec])
+        args.extend([mask, mask, mask])
 
     def kern(x_ref, top_ref, bot_ref, k_ref, *rest):
-        b_ref = skip_ref = None
+        b_ref = skip_ref = m_ref = mtop_ref = mbot_ref = mo_ref = None
         rest = list(rest)
+        if emit_masked:
+            mo_ref = rest.pop()
         o_ref = rest.pop()
         if bias is not None:
             b_ref = rest.pop(0)
         if skip is not None:
             skip_ref = rest.pop(0)
+        if mask is not None:
+            m_ref, mtop_ref, mbot_ref = rest
         _conv_kernel(
-            x_ref, top_ref, bot_ref, k_ref, b_ref, skip_ref, o_ref,
+            x_ref, top_ref, bot_ref, k_ref, b_ref, skip_ref,
+            m_ref, mtop_ref, mbot_ref, o_ref, mo_ref,
             relu=relu, n_hblocks=nh,
         )
 
+    out_spec = pl.BlockSpec((1, hb, w, co), lambda nn, ii: (nn, ii, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((n, h, w, co), x.dtype)
+    if emit_masked:
+        out_specs = [out_spec, tile_spec]
+        out_shapes = [out_shape, jax.ShapeDtypeStruct((n, h, w, c), x.dtype)]
+    else:
+        out_specs, out_shapes = out_spec, out_shape
     return pl.pallas_call(
         kern,
         grid=(n, nh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hb, w, co), lambda nn, ii: (nn, ii, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
@@ -208,14 +246,36 @@ def _conv_fused_fwd(relu, x, kernel, bias, skip):
     return y, (x, kernel, y, bias is not None, skip is not None)
 
 
+def _mask_fusion_enabled() -> bool:
+    """ReLU-mask backward fusion (``DCT_CONV_FUSED_MASK=0`` reverts to the
+    standalone XLA select + plain dx kernel — the pre-fusion formulation)."""
+    import os
+
+    return os.environ.get("DCT_CONV_FUSED_MASK", "1") != "0"
+
+
 def _conv_fused_bwd(relu, res, dy):
     x, kernel, y, has_bias, has_skip = res
-    if relu:
-        dy = dy * (y > 0).astype(dy.dtype)
-    dx = _conv_call(dy, _flip_transpose(kernel), None, None, False)
-    dk = _weight_grad(x, dy)
-    db = jnp.sum(dy, axis=(0, 1, 2)).astype(dy.dtype) if has_bias else None
-    dskip = dy if has_skip else None
+    kf = _flip_transpose(kernel)
+    if relu and not _mask_fusion_enabled():
+        dy_m = dy * (y > 0).astype(dy.dtype)
+        dx = _conv_call(dy_m, kf, None, None, False)
+    elif relu and has_skip:
+        # dskip keeps the masked dy live, so emit it from the kernel as a
+        # second output instead of a standalone full-tensor select.
+        dx, dy_m = _conv_call(dy, kf, None, None, False, mask=y, emit_masked=True)
+    elif relu:
+        # masked dy only feeds dk/db, which DCE when the caller (the
+        # sampler) differentiates w.r.t. latents only — so the select below
+        # vanishes and the mask rides the dx kernel's operand stream.
+        dx = _conv_call(dy, kf, None, None, False, mask=y)
+        dy_m = dy * (y > 0).astype(dy.dtype)
+    else:
+        dy_m = dy
+        dx = _conv_call(dy_m, kf, None, None, False)
+    dk = _weight_grad(x, dy_m)
+    db = jnp.sum(dy_m, axis=(0, 1, 2)).astype(dy.dtype) if has_bias else None
+    dskip = dy_m if has_skip else None
     return dx, dk, db, dskip
 
 

@@ -152,3 +152,36 @@ def test_supported_contract():
     assert not c3.supported(jnp.zeros((1, 576, 384, 64)))  # half lanes
     assert not c3.supported(jnp.zeros((1, 576, 385, 128)))  # W % 8
     assert not c3.supported(jnp.zeros((576, 384, 128)))  # rank
+
+
+def test_fused_mask_bwd_matches_unfused(monkeypatch):
+    """The in-kernel ReLU-mask backward (mask streamed into the dx kernel,
+    masked dy emitted as a second output when skip keeps it live) must be
+    bit-identical to the pre-fusion formulation (standalone XLA select +
+    plain dx kernel, DCT_CONV_FUSED_MASK=0) — same matmuls, same mask, only
+    the HBM round trip for the masked tensor is removed."""
+    x, k, b = _data(seed=7)
+    skip = x * 0.25
+
+    def grads(z, s):
+        def f(z, s):
+            return jnp.sum(c3.conv3x3_fused(z, k, b, relu=True, skip=s) ** 2)
+
+        return jax.grad(f, argnums=(0, 1))(z, s)
+
+    def grads_no_skip(z):
+        def f(z):
+            return jnp.sum(c3.conv3x3_fused(z, k, b, relu=True) ** 2)
+
+        return jax.grad(f)(z)
+
+    monkeypatch.setenv("DCT_CONV_FUSED_MASK", "1")
+    gx_f, gs_f = grads(x, skip)
+    gn_f = grads_no_skip(x)
+    monkeypatch.setenv("DCT_CONV_FUSED_MASK", "0")
+    gx_u, gs_u = grads(x, skip)
+    gn_u = grads_no_skip(x)
+
+    np.testing.assert_array_equal(np.asarray(gx_f), np.asarray(gx_u))
+    np.testing.assert_array_equal(np.asarray(gs_f), np.asarray(gs_u))
+    np.testing.assert_array_equal(np.asarray(gn_f), np.asarray(gn_u))
