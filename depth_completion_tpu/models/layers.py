@@ -251,6 +251,62 @@ def conv3x3_mean_tap(params, h):
     return out
 
 
+def conv3x3_mean_tap_packed(params, hp):
+    """``conv3x3_mean_tap`` consuming the width-packed feature map directly.
+
+    ``hp`` is the packed decoder output [N, H, W/2, 2C] (column pairs on the
+    channel dim, models/vae_tiny.py). Unpacking it first costs a full-tensor
+    relayout copy (the 128-channel → 64-channel reshape retiles; ~1.5 ms
+    fwd + the same again in backward at 576×384×128, trace round-5), so the
+    mean-tap head is evaluated in the packed domain instead: the actual
+    3×3 column taps K0/K1/K2 become per-packed-column taps over (lo, hi)
+    channel halves — lo output (actual col 2j) reads K0·hi[j-1] + K1·lo[j]
+    + K2·hi[j]; hi output (2j+1) reads K0·lo[j] + K1·hi[j] + K2·lo[j+1] —
+    giving one [NHW/2, 2C]×[2C, 18] tap matmul (full 128-deep contraction,
+    vs 64 unpacked) and nine shifted adds. Exact same math, no relayout.
+    Returns [N, H, W].
+    """
+    n, hh, w2, c2 = hp.shape
+    c = c2 // 2
+    kbar = jnp.mean(params["kernel"].astype(jnp.float32), axis=-1)  # [3,3,C]
+    z = jnp.zeros((3, c), jnp.float32)
+    k0, k1, k2 = kbar[:, 0], kbar[:, 1], kbar[:, 2]  # [3, C] each
+    # kp[dh, dwp, 2C, p]: p=0 → lo output (actual col 2j), p=1 → hi (2j+1)
+    lo_taps = jnp.stack(
+        [
+            jnp.concatenate([z, k0], axis=-1),   # packed col j-1: K0·hi
+            jnp.concatenate([k1, k2], axis=-1),  # packed col j:   K1·lo+K2·hi
+            jnp.concatenate([z, z], axis=-1),    # packed col j+1: —
+        ],
+        axis=1,
+    )  # [3, 3, 2C]
+    hi_taps = jnp.stack(
+        [
+            jnp.concatenate([z, z], axis=-1),    # packed col j-1: —
+            jnp.concatenate([k0, k1], axis=-1),  # packed col j:   K0·lo+K1·hi
+            jnp.concatenate([k2, z], axis=-1),   # packed col j+1: K2·lo
+        ],
+        axis=1,
+    )
+    kp = jnp.stack([lo_taps, hi_taps], axis=-1)  # [3, 3, 2C, 2]
+    kmat = kp.reshape(9, c2, 2).astype(hp.dtype)
+    # p rides a major dim ("pnhw") — a 2-wide minor dim would pad 64× on the
+    # 128-lane axis; each [H, W/2] map stays dense (8,128)-tiled instead.
+    m = jnp.einsum("nhwc,tcp->tpnhw", hp, kmat)  # [9, 2, N, H, W/2]
+    mp = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
+    out = jnp.zeros((2, n, hh, w2), hp.dtype)
+    for t in range(9):
+        dh, dw = divmod(t, 3)
+        out = out + jax.lax.slice(
+            mp, (t, 0, 0, dh, dw), (t + 1, 2, n, dh + hh, dw + w2)
+        )[0]
+    if "bias" in params:
+        out = out + jnp.mean(params["bias"].astype(jnp.float32)).astype(hp.dtype)
+    # interleave lo/hi columns back to actual width (tiny: [N,H,W/2,2] is
+    # the final 1-channel map, not the 128-channel feature tensor)
+    return jnp.moveaxis(out, 0, -1).reshape(n, hh, w2 * 2)
+
+
 def upsample_nearest_2x(x):
     """NHWC nearest-neighbor 2x upsample."""
     n, h, w, c = x.shape

@@ -19,7 +19,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from depth_completion_tpu.models.layers import conv2d, conv3x3_mean_tap, conv_init
+from depth_completion_tpu.models.layers import (
+    conv2d,
+    conv3x3_mean_tap,
+    conv3x3_mean_tap_packed,
+    conv_init,
+)
 from depth_completion_tpu.models.registry import TaesdConfig
 from depth_completion_tpu.ops import conv3x3
 
@@ -155,8 +160,11 @@ def _upsample_2x_wpacked(xp):
     return jnp.repeat(u, 2, axis=1)
 
 
-def _decode_backbone(params, latents: jnp.ndarray) -> jnp.ndarray:
-    """Shared decoder trunk: latent → pre-``conv_out`` features [N,H,W,C]."""
+def _decode_backbone_raw(params, latents: jnp.ndarray) -> tuple[jnp.ndarray, bool]:
+    """Shared decoder trunk → (features, packed?): packed [N,H,W/2,2C] when
+    the width-packed path ran (even W), else plain [N,H,W,C] — so heads that
+    can consume the packed layout directly (conv3x3_mean_tap_packed) skip
+    the full-tensor unpack relayout."""
     dec = params["decoder"]
     # soft clamp: 3·tanh(x/3)
     h = 3.0 * jnp.tanh(latents / 3.0)
@@ -170,17 +178,23 @@ def _decode_backbone(params, latents: jnp.ndarray) -> jnp.ndarray:
             if "up_conv" in stage:
                 hp = _upsample_2x_wpacked(hp)
                 hp = _conv2d_wpacked(stage["up_conv"], hp)
-        h = _wunpack(hp)
-    else:  # odd width: plain path
-        from depth_completion_tpu.models.layers import upsample_nearest_2x
+        return hp, True
+    # odd width: plain path
+    from depth_completion_tpu.models.layers import upsample_nearest_2x
 
-        for stage in dec["stages"]:
-            for p in stage["blocks"]:
-                h = _block(p, h)
-            if "up_conv" in stage:
-                h = upsample_nearest_2x(h)
-                h = conv2d(stage["up_conv"], h)
-    return h
+    for stage in dec["stages"]:
+        for p in stage["blocks"]:
+            h = _block(p, h)
+        if "up_conv" in stage:
+            h = upsample_nearest_2x(h)
+            h = conv2d(stage["up_conv"], h)
+    return h, False
+
+
+def _decode_backbone(params, latents: jnp.ndarray) -> jnp.ndarray:
+    """Shared decoder trunk: latent → pre-``conv_out`` features [N,H,W,C]."""
+    h, packed = _decode_backbone_raw(params, latents)
+    return _wunpack(h) if packed else h
 
 
 def decode(params, latents: jnp.ndarray, config: TaesdConfig) -> jnp.ndarray:
@@ -202,6 +216,9 @@ def decode_depth(params, latents: jnp.ndarray, config: TaesdConfig) -> jnp.ndarr
     per-step guidance gradient path.
     """
     del config
-    h = _decode_backbone(params, latents)
-    out = conv3x3_mean_tap(params["decoder"]["conv_out"], h)
+    h, packed = _decode_backbone_raw(params, latents)
+    if packed:
+        out = conv3x3_mean_tap_packed(params["decoder"]["conv_out"], h)
+    else:
+        out = conv3x3_mean_tap(params["decoder"]["conv_out"], h)
     return jnp.clip(out, 0.0, 1.0)[..., None]

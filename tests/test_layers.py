@@ -177,3 +177,42 @@ def test_upsample_conv_2x_matmul_exact():
         np.asarray(conv2d(p, upsample_nearest_2x(x))),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_conv3x3_mean_tap_packed_exact():
+    """The packed-domain mean-tap head == unpacked mean-tap == the plain
+    mean-of-conv reference, including zero-pad edges and bias — so
+    decode_depth can consume the width-packed decoder output without the
+    full-tensor unpack relayout."""
+    from depth_completion_tpu.models.layers import (
+        conv3x3_mean_tap,
+        conv3x3_mean_tap_packed,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w, c, co in [(6, 8, 4, 3), (5, 10, 8, 3), (12, 16, 16, 1)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+        params = {
+            "kernel": jnp.asarray(rng.normal(size=(3, 3, c, co)), jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=(co,)), jnp.float32),
+        }
+        ref = jnp.mean(conv2d(params, x), axis=-1)
+        flat = conv3x3_mean_tap(params, x)
+        xp = x.reshape(2, h, w // 2, 2 * c)  # width-pack (even w above)
+        packed = conv3x3_mean_tap_packed(params, xp)
+        np.testing.assert_allclose(
+            np.asarray(flat), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg=f"{h}x{w} {c}->{co} flat",
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(flat), rtol=1e-4, atol=1e-5,
+            err_msg=f"{h}x{w} {c}->{co} packed",
+        )
+    # no-bias variant
+    p = {"kernel": jnp.asarray(rng.normal(size=(3, 3, 8, 3)), jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_mean_tap_packed(p, x.reshape(1, 4, 4, 16))),
+        np.asarray(conv3x3_mean_tap(p, x)),
+        rtol=1e-4, atol=1e-5,
+    )
