@@ -154,7 +154,12 @@ def _block_wpacked(p, xp):
 
 
 def _upsample_2x_wpacked(xp):
-    """Packed nearest-2×: [N,H,W/2,2C] → [N,2H,W,2C] (both dims doubled)."""
+    """Packed nearest-2×: [N,H,W/2,2C] → [N,2H,W,2C] (both dims doubled).
+
+    A stay-packed formulation (``concat([lo,lo,hi,hi])`` + minor-dim split,
+    skipping the 64-channel intermediate) measured neutral at batch 8
+    (0.5410 vs 0.5420 f/s; data formatting −0.7 ms/step but loop fusion
+    +0.8 — PERF.md round-5 tried-and-rejected); the unpack form stays."""
     x = _wunpack(xp)  # [N,H,W,C]
     u = jnp.concatenate([x, x], axis=-1)  # packed row at doubled width
     return jnp.repeat(u, 2, axis=1)
