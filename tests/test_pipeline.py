@@ -395,3 +395,24 @@ def test_e2e_odd_geometries(pipe, hw):
         pipe(images, sparse, max_depth=120.0, steps=2, resolution=64)[0]
     )
     np.testing.assert_array_equal(d, d2)
+
+
+def test_ensemble_odd_geometry(pipe):
+    """The ensemble path (member axis + reduce) shares none of the
+    single-sample program, so its padding/unpad bookkeeping needs its own
+    odd-shape coverage."""
+    h, w = 47, 63
+    rng = np.random.default_rng(7)
+    images = rng.uniform(0, 255, size=(1, h, w, 3)).astype(np.float32)
+    sparse = np.zeros((1, h, w, 1), np.float32)
+    mask = rng.random((1, h, w, 1)) < 0.1
+    mask[0, h // 2, w // 2, 0] = True
+    sparse[mask] = rng.uniform(2.0, 80.0, mask.sum()).astype(np.float32)
+    denses, members = pipe(
+        images, sparse, max_depth=120.0, steps=2, resolution=64,
+        ensemble_size=2, ensemble_reduce="aligned-median",
+    )
+    d = np.asarray(denses)
+    assert d.shape == (1, h, w, 1)
+    assert np.isfinite(d).all()
+    assert np.asarray(members).shape == (1, 2, h, w, 1)
